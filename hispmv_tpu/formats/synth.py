@@ -1,0 +1,222 @@
+"""Synthetic sparse matrix generators + the reference benchmark fixture set.
+
+The reference pins 20 SuiteSparse matrices by URL (get_tb_matrices.py:57-78).
+This module ports that fixture list (see :data:`SUITE_URLS` /
+:func:`fetch_suite`) and additionally provides *synthetic stand-ins* that
+reproduce each matrix's structural profile (shape, nnz, row-length
+distribution family), so tests and benchmarks run in network-isolated
+environments.  Stand-in shapes/nnz are approximate SuiteSparse statistics and
+are labeled as such in benchmark output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from hispmv_tpu.formats.matrix import COOMatrix
+
+# Reference fixture URLs (get_tb_matrices.py:57-78), usable when the
+# environment has network access.
+SUITE_URLS = [
+    "https://suitesparse-collection-website.herokuapp.com/MM/Precima/analytics.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/GHS_indef/boyd2.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/GHS_psdef/crankseg_2.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/GHS_psdef/ford2.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Tromble/language.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Belcastro/mouse_gene.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Freescale/nxp1.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Grund/poli_large.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/SNAP/soc-Pokec.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/IBM_EDA/trans5.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Sandia/ASIC_680k.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Schenk_IBMNA/c-52.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Boeing/crystk03.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/VDOL/hangGlider_3.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/VDOL/lowThrust_7.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/ND/nd6k.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/Janna/PFlow_742.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/PARSEC/Si41Ge41H72.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/DNVS/thread.tar.gz",
+    "https://suitesparse-collection-website.herokuapp.com/MM/TSOPF/TSOPF_RS_b2383.tar.gz",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class MatrixProfile:
+    """Structural profile of a benchmark matrix (approximate stats)."""
+
+    name: str
+    rows: int
+    cols: int
+    nnz: int  # expanded (post symmetry) nonzero count, approximate
+    kind: str  # "banded" | "blocked" | "powerlaw" | "random"
+
+
+# Approximate SuiteSparse statistics for the reference's 20-matrix suite.
+# nnz counts are the *expanded* (general-form) values the reference computes
+# after symmetry expansion.  Used only to build synthetic stand-ins; real
+# matrices can be fetched with fetch_suite() when network access exists.
+SUITE_PROFILES = {
+    "TSOPF_RS_b2383": MatrixProfile("TSOPF_RS_b2383", 38120, 38120, 16_171_169, "blocked"),
+    "mouse_gene": MatrixProfile("mouse_gene", 45101, 45101, 28_967_291, "random"),
+    "nd6k": MatrixProfile("nd6k", 18000, 18000, 6_897_316, "blocked"),
+    "crankseg_2": MatrixProfile("crankseg_2", 63838, 63838, 14_148_858, "blocked"),
+    "thread": MatrixProfile("thread", 29736, 29736, 4_444_880, "blocked"),
+    "crystk03": MatrixProfile("crystk03", 24696, 24696, 1_751_178, "banded"),
+    "Si41Ge41H72": MatrixProfile("Si41Ge41H72", 185639, 185639, 15_011_265, "blocked"),
+    "PFlow_742": MatrixProfile("PFlow_742", 742793, 742793, 37_138_461, "banded"),
+    "lowThrust_7": MatrixProfile("lowThrust_7", 17378, 17378, 214_573, "banded"),
+    "soc-Pokec": MatrixProfile("soc-Pokec", 1632803, 1632803, 30_622_564, "powerlaw"),
+    "hangGlider_3": MatrixProfile("hangGlider_3", 10260, 10260, 92_703, "banded"),
+    "c-52": MatrixProfile("c-52", 23948, 23948, 202_708, "powerlaw"),
+    "nxp1": MatrixProfile("nxp1", 414604, 414604, 2_655_880, "powerlaw"),
+    "trans5": MatrixProfile("trans5", 116835, 116835, 749_800, "powerlaw"),
+    "analytics": MatrixProfile("analytics", 303813, 303813, 2_006_126, "random"),
+    "ford2": MatrixProfile("ford2", 100196, 100196, 544_688, "banded"),
+    "ASIC_680k": MatrixProfile("ASIC_680k", 682862, 682862, 3_871_773, "powerlaw"),
+    "boyd2": MatrixProfile("boyd2", 466316, 466316, 1_500_397, "powerlaw"),
+    "language": MatrixProfile("language", 399130, 399130, 1_216_334, "powerlaw"),
+    "poli_large": MatrixProfile("poli_large", 15575, 15575, 33_074, "random"),
+}
+
+
+def random_coo(
+    rows: int, cols: int, nnz: int, seed: int = 0, dedup: bool = True
+) -> COOMatrix:
+    """Uniformly random sparse matrix (general_test.py:36-44 analog)."""
+    rng = np.random.default_rng(seed)
+    r = rng.integers(0, rows, size=nnz, dtype=np.int64)
+    c = rng.integers(0, cols, size=nnz, dtype=np.int64)
+    if dedup:
+        key = r * cols + c
+        _, idx = np.unique(key, return_index=True)
+        r, c = r[idx], c[idx]
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    v[v == 0] = 1.0
+    return COOMatrix((rows, cols), r, c, v)
+
+
+def banded_coo(
+    rows: int, cols: int, nnz: int, seed: int = 0, bandwidth: Optional[int] = None
+) -> COOMatrix:
+    """FEM-style banded matrix: nnz clustered near the diagonal."""
+    rng = np.random.default_rng(seed)
+    per_row = max(1, nnz // rows)
+    if bandwidth is None:
+        bandwidth = max(4 * per_row, 16)
+    r = np.repeat(np.arange(rows, dtype=np.int64), per_row)
+    offs = rng.integers(-bandwidth, bandwidth + 1, size=len(r))
+    c = np.clip(r + offs, 0, cols - 1)
+    key = r * cols + c
+    _, idx = np.unique(key, return_index=True)
+    r, c = r[idx], c[idx]
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    v[v == 0] = 1.0
+    return COOMatrix((rows, cols), r, c, v)
+
+
+def blocked_coo(
+    rows: int, cols: int, nnz: int, seed: int = 0, block: int = 32
+) -> COOMatrix:
+    """Block-clustered matrix: dense-ish blocks scattered near the diagonal,
+    the profile of FEM stiffness matrices (nd6k, crankseg_2, ...)."""
+    rng = np.random.default_rng(seed)
+    nblocks = max(1, nnz // (block * block))
+    br = rng.integers(0, max(1, rows // block), size=nblocks, dtype=np.int64)
+    spread = max(1, (cols // block) // 16)
+    bc = np.clip(
+        br + rng.integers(-spread, spread + 1, size=nblocks),
+        0,
+        max(0, cols // block - 1),
+    )
+    # ~70% fill inside each block
+    fill = max(1, int(block * block * 0.7))
+    rr = rng.integers(0, block, size=(nblocks, fill))
+    cc = rng.integers(0, block, size=(nblocks, fill))
+    r = (br[:, None] * block + rr).ravel()
+    c = (bc[:, None] * block + cc).ravel()
+    ok = (r < rows) & (c < cols)
+    r, c = r[ok], c[ok]
+    key = r * cols + c
+    _, idx = np.unique(key, return_index=True)
+    r, c = r[idx], c[idx]
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    v[v == 0] = 1.0
+    return COOMatrix((rows, cols), r, c, v)
+
+
+def powerlaw_coo(
+    rows: int, cols: int, nnz: int, seed: int = 0, alpha: float = 1.8
+) -> COOMatrix:
+    """Scale-free matrix with Zipf-distributed row lengths — the highly
+    imbalanced profile (soc-Pokec et al.) that motivates the reference's
+    hybrid row-distribution network."""
+    rng = np.random.default_rng(seed)
+    # Zipf row weights, shuffled so heavy rows are scattered.
+    w = 1.0 / np.arange(1, rows + 1, dtype=np.float64) ** alpha
+    rng.shuffle(w)
+    w /= w.sum()
+    counts = rng.multinomial(nnz, w)
+    r = np.repeat(np.arange(rows, dtype=np.int64), counts)
+    c = rng.integers(0, cols, size=len(r), dtype=np.int64)
+    key = r * cols + c
+    _, idx = np.unique(key, return_index=True)
+    r, c = r[idx], c[idx]
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    v[v == 0] = 1.0
+    return COOMatrix((rows, cols), r, c, v)
+
+
+_GENERATORS = {
+    "random": random_coo,
+    "banded": banded_coo,
+    "blocked": blocked_coo,
+    "powerlaw": powerlaw_coo,
+}
+
+
+def synth_from_profile(profile: MatrixProfile, seed: int = 0) -> COOMatrix:
+    """Build a synthetic stand-in for a suite matrix profile."""
+    return _GENERATORS[profile.kind](
+        profile.rows, profile.cols, profile.nnz, seed=seed
+    )
+
+
+def suite_matrix(name: str, scale: float = 1.0, seed: int = 0) -> COOMatrix:
+    """Synthetic stand-in for a named suite matrix, optionally size-scaled."""
+    p = SUITE_PROFILES[name]
+    if scale != 1.0:
+        p = MatrixProfile(
+            p.name,
+            max(64, int(p.rows * scale)),
+            max(64, int(p.cols * scale)),
+            max(64, int(p.nnz * scale)),
+            p.kind,
+        )
+    return synth_from_profile(p, seed=seed)
+
+
+def fetch_suite(directory: str) -> list:
+    """Download and extract the reference's 20 SuiteSparse fixtures
+    (get_tb_matrices.py analog).  Requires network access; returns the list
+    of extracted .mtx paths."""
+    import tarfile
+    import urllib.request
+
+    os.makedirs(directory, exist_ok=True)
+    paths = []
+    for url in SUITE_URLS:
+        name = url.rstrip("/").split("/")[-1].replace(".tar.gz", "")
+        mtx_path = os.path.join(directory, name, f"{name}.mtx")
+        if not os.path.exists(mtx_path):
+            tgz = os.path.join(directory, f"{name}.tar.gz")
+            urllib.request.urlretrieve(url, tgz)
+            with tarfile.open(tgz) as tar:
+                tar.extractall(directory)
+            os.remove(tgz)
+        paths.append(mtx_path)
+    return paths
