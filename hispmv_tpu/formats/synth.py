@@ -152,9 +152,11 @@ def blocked_coo(
 def powerlaw_coo(
     rows: int, cols: int, nnz: int, seed: int = 0, alpha: float = 1.8
 ) -> COOMatrix:
-    """Scale-free matrix with Zipf-distributed row lengths — the highly
-    imbalanced profile (soc-Pokec et al.) that motivates the reference's
-    hybrid row-distribution network."""
+    """Scale-free matrix with Zipf-distributed row AND column degrees — the
+    highly imbalanced profile (soc-Pokec et al.) that motivates the
+    reference's hybrid row-distribution network.  Hub columns exist too
+    (real graphs are Zipf on both axes), which is what the planner's
+    degree-based column reordering exploits."""
     rng = np.random.default_rng(seed)
     # Zipf row weights, shuffled so heavy rows are scattered.
     w = 1.0 / np.arange(1, rows + 1, dtype=np.float64) ** alpha
@@ -162,7 +164,11 @@ def powerlaw_coo(
     w /= w.sum()
     counts = rng.multinomial(nnz, w)
     r = np.repeat(np.arange(rows, dtype=np.int64), counts)
-    c = rng.integers(0, cols, size=len(r), dtype=np.int64)
+    # Zipf column weights (independently shuffled).
+    wc = 1.0 / np.arange(1, cols + 1, dtype=np.float64) ** alpha
+    rng.shuffle(wc)
+    wc /= wc.sum()
+    c = rng.choice(cols, size=len(r), p=wc).astype(np.int64)
     key = r * cols + c
     _, idx = np.unique(key, return_index=True)
     r, c = r[idx], c[idx]

@@ -1,0 +1,112 @@
+"""Block-ELL planner + Pallas kernel golden tests (interpret mode on CPU).
+
+Differential testing against scipy, rtol=1e-3 acceptance
+(reference apps/general_test.py:104-116)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hispmv_tpu.formats.synth import banded_coo, powerlaw_coo, random_coo
+from hispmv_tpu.plan.blocks import (
+    BlockPlan,
+    block_plan_matvec_numpy,
+    build_block_plan,
+    degree_column_perm,
+)
+from hispmv_tpu.ops.spmv_block import spmv_block
+
+
+def golden(coo, x, y_in=None, alpha=1.0, beta=0.0):
+    y = alpha * (coo.to_scipy() @ x.astype(np.float64))
+    if y_in is not None:
+        y = y + beta * y_in
+    return y.astype(np.float32)
+
+
+def test_block_plan_covers_all_nnz(small_matrix):
+    plan = build_block_plan(small_matrix, block_h=8)
+    assert plan.data.shape[0] == len(plan.block_rows)
+    # Every nonzero is represented: numpy executor equals scipy.
+    x = np.random.default_rng(0).standard_normal(small_matrix.num_cols)
+    x = x.astype(np.float32)
+    np.testing.assert_allclose(
+        block_plan_matvec_numpy(plan, x),
+        golden(small_matrix, x),
+        rtol=1e-3,
+        atol=1e-5,
+    )
+
+
+def test_block_plan_sorted_and_firsts():
+    coo = powerlaw_coo(300, 300, 5000, seed=0)
+    plan = build_block_plan(coo, block_h=8)
+    rb = plan.block_rows
+    assert np.all(np.diff(rb) >= 0), "blocks must be sorted by row-block"
+    # every row-block present exactly where firsts says
+    firsts = np.ones(len(rb), np.int32)
+    firsts[1:] = (rb[1:] != rb[:-1]).astype(np.int32)
+    np.testing.assert_array_equal(firsts, plan.block_firsts)
+    # all row blocks visited
+    assert set(rb.tolist()) == set(range(plan.num_row_blocks))
+
+
+@pytest.mark.parametrize("block_h", [8, 16])
+def test_block_pallas_interpret(small_matrix, block_h):
+    plan = build_block_plan(small_matrix, block_h=block_h)
+    x = np.random.default_rng(1).standard_normal(small_matrix.num_cols)
+    x = x.astype(np.float32)
+    got = np.asarray(spmv_block(plan, x, interpret=True))
+    np.testing.assert_allclose(
+        got, golden(small_matrix, x), rtol=1e-3, atol=1e-5
+    )
+
+
+def test_block_pallas_axpby():
+    coo = random_coo(257, 191, 4000, seed=2)
+    plan = build_block_plan(coo, block_h=8)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(191).astype(np.float32)
+    y_in = rng.standard_normal(257).astype(np.float32)
+    got = np.asarray(
+        spmv_block(plan, x, y_in, alpha=1.5, beta=-0.25, interpret=True)
+    )
+    np.testing.assert_allclose(
+        got, golden(coo, x, y_in, 1.5, -0.25), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_degree_column_perm_improves_fill():
+    coo = powerlaw_coo(2000, 2000, 40_000, seed=4)
+    base = build_block_plan(coo, block_h=8)
+    perm = degree_column_perm(coo)
+    permuted = build_block_plan(coo, block_h=8, col_perm=perm)
+    assert permuted.fill > base.fill * 1.2, (
+        f"degree reorder should densify blocks: {base.fill:.4f} -> "
+        f"{permuted.fill:.4f}"
+    )
+    # and stays correct
+    x = np.random.default_rng(5).standard_normal(2000).astype(np.float32)
+    np.testing.assert_allclose(
+        block_plan_matvec_numpy(permuted, x),
+        golden(coo, x),
+        rtol=1e-3,
+        atol=1e-5,
+    )
+    got = np.asarray(spmv_block(permuted, x, interpret=True))
+    np.testing.assert_allclose(got, golden(coo, x), rtol=1e-3, atol=1e-4)
+
+
+def test_empty_row_blocks_zeroed():
+    # Matrix with a fully-empty band of rows: their y must come out 0.
+    rows = np.array([0, 1, 60, 61], np.int32)
+    cols = np.array([0, 5, 7, 2], np.int32)
+    vals = np.ones(4, np.float32)
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    coo = COOMatrix((64, 130), rows, cols, vals)
+    plan = build_block_plan(coo, block_h=8)
+    x = np.ones(130, np.float32)
+    got = np.asarray(spmv_block(plan, x, interpret=True))
+    np.testing.assert_allclose(got, golden(coo, x), rtol=1e-3, atol=1e-6)
+    assert np.all(got[8:56] == 0)
