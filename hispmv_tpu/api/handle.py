@@ -1,0 +1,430 @@
+"""Prepare-once / run-many execution handles.
+
+TPU-native re-design of the reference's two runtime classes:
+
+- ``HiSpmvHandle`` (common/include/spmv-helper.h:62-202): owns one prepared
+  matrix, runs it, verifies it.  Here: :class:`SpmvHandle` — holds the
+  device-resident plan arrays and a jitted runner; ``run()`` executes
+  ``y = alpha * A @ x + beta * y_in``.
+- ``FpgaHandle`` (pyhispmv/src/fpga_handle.cpp): keeps MANY prepared
+  matrices resident in device HBM, ``selectMatrix`` switches between them,
+  ``runLinear`` does batched GeMV/SpMV for DNN layers.  Here:
+  :class:`Accelerator` — a registry of handles; "residency" is literal
+  (plan arrays are device arrays held alive by the registry), and
+  ``linear()`` dispatches to the batched MXU block kernel or the dense
+  matmul overlay.
+
+Formats ("auto" dispatch is the matrix-adaptive contract, the analog of the
+automation tool's DSE, automation_tool/src/dse.py:23-95; the full cost-model
+search lives in hispmv_tpu.tune):
+
+- ``dense``  — the dense overlay: A stored as a padded dense array, GeMV on
+  the MXU (BUILD_DENSE_OVERLAY analog, assets/base_functions.cpp:174-226).
+- ``block``  — block-ELL Pallas stream (hispmv_tpu.ops.spmv_block).
+- ``stream`` — lane-stream gather/segment-sum path (hispmv_tpu.ops.spmv_ref),
+  best for matrices too irregular to block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hispmv_tpu.config import SpmvConfig
+from hispmv_tpu.formats.matrix import COOMatrix, coo_from_dense
+from hispmv_tpu.ops.gemv import gemv_xla
+from hispmv_tpu.ops.spmv_block import (
+    spmv_block_batched_pallas,
+    spmv_block_pallas,
+)
+from hispmv_tpu.ops.spmv_ref import spmv_xla
+from hispmv_tpu.plan.blocks import (
+    LANES,
+    build_block_plan,
+    degree_column_perm,
+)
+from hispmv_tpu.plan.partition import build_plan
+
+
+def _use_interpret() -> bool:
+    """Pallas kernels need interpret mode off-TPU (the csim analog)."""
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@dataclasses.dataclass
+class PrepareStats:
+    format: str
+    prep_time_s: float
+    device_bytes: int
+    fill: float  # block fill or 1 - padding (stream); 1.0 for dense
+
+
+class SpmvHandle:
+    """One prepared matrix, device-resident, with a jitted runner."""
+
+    def __init__(
+        self,
+        matrix: Union[COOMatrix, np.ndarray],
+        config: Optional[SpmvConfig] = None,
+        format: str = "auto",  # noqa: A002 — mirrors the reference naming
+        interpret: Optional[bool] = None,
+    ):
+        import time
+
+        t0 = time.perf_counter()
+        self.config = config or SpmvConfig()
+        if isinstance(matrix, np.ndarray):
+            self._from_dense_array(matrix)
+            fmt = "dense"
+        else:
+            self.coo = matrix
+            self.shape = matrix.shape
+            self.nnz = matrix.nnz
+            fmt = format
+            if fmt == "auto":
+                fmt = choose_format(matrix, self.config)
+            if fmt == "dense":
+                self._from_dense_array(matrix.to_dense())
+            elif fmt == "block":
+                self._prepare_block(matrix)
+            elif fmt == "stream":
+                self._prepare_stream(matrix)
+            else:
+                raise ValueError(f"unknown format: {fmt}")
+        self.format = fmt
+        self.interpret = (
+            _use_interpret() if interpret is None else interpret
+        )
+        self._runner = None
+        self._batch_runners: Dict[int, object] = {}
+        self.stats = PrepareStats(
+            format=fmt,
+            prep_time_s=time.perf_counter() - t0,
+            device_bytes=self.device_bytes,
+            fill=self._fill,
+        )
+
+    # -- preparation ------------------------------------------------------
+
+    def _from_dense_array(self, arr: np.ndarray):
+        arr = np.asarray(arr, np.float32)
+        self.shape = arr.shape
+        if not hasattr(self, "coo"):
+            self.coo = None
+        self.nnz = getattr(self.coo, "nnz", arr.size)
+        r, c = arr.shape
+        rp = -(-r // 8) * 8
+        cp = -(-c // LANES) * LANES
+        padded = np.zeros((rp, cp), np.float32)
+        padded[:r, :c] = arr
+        self._dense = jnp.asarray(padded)
+        self._fill = 1.0
+        self.device_bytes = int(self._dense.nbytes)
+
+    def _prepare_block(self, coo: COOMatrix):
+        cfg = self.config
+        perm = None
+        if cfg.col_reorder:
+            perm = degree_column_perm(coo)
+        plan = build_block_plan(coo, block_h=cfg.block_h, col_perm=perm)
+        # Keep a second, identity-extended permutation covering column
+        # padding so the runner can gather in one take().
+        self._block_plan_meta = plan
+        self._d = {
+            "data": jnp.asarray(plan.data),
+            "rows": jnp.asarray(plan.block_rows),
+            "cols": jnp.asarray(plan.block_cols),
+            "firsts": jnp.asarray(plan.block_firsts),
+            "lasts": jnp.asarray(plan.block_lasts),
+        }
+        if plan.col_perm is not None:
+            full = np.concatenate(
+                [
+                    plan.col_perm,
+                    np.arange(
+                        coo.num_cols, plan.num_col_blocks * LANES, dtype=np.int32
+                    ),
+                ]
+            )
+            self._d["perm"] = jnp.asarray(full)
+        self._fill = plan.fill
+        self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
+
+    def _prepare_stream(self, coo: COOMatrix):
+        plan = build_plan(coo, self.config)
+        self._stream_plan_meta = plan
+        self._d = {
+            "vals": jnp.asarray(plan.vals),
+            "cols": jnp.asarray(plan.cols),
+            "round_ids": jnp.asarray(plan.round_ids()),
+            "seg_rows": jnp.asarray(plan.seg_rows),
+        }
+        self._fill = 1.0 - plan.padding_ratio
+        self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
+
+    # -- execution --------------------------------------------------------
+
+    @property
+    def padded_cols(self) -> int:
+        if self.format == "dense":
+            return int(self._dense.shape[1])
+        if self.format == "block":
+            return self._block_plan_meta.num_col_blocks * LANES
+        return self.shape[1]
+
+    def _pad_x(self, x: jax.Array) -> jax.Array:
+        if x.shape[-1] != self.shape[1]:
+            raise ValueError(
+                f"x has {x.shape[-1]} entries, matrix has {self.shape[1]} "
+                "columns"
+            )
+        pad = self.padded_cols - x.shape[-1]
+        if pad > 0:
+            widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+            x = jnp.pad(x, widths)
+        return x
+
+    def _make_runner(self):
+        fmt = self.format
+        interp = self.interpret
+        R = self.shape[0]
+        if fmt == "dense":
+            dense = self._dense
+
+            def run(x, y_in, alpha, beta):
+                y = gemv_xla(dense, x)[:R]
+                y = alpha * y
+                return y if y_in is None else y + beta * y_in
+
+        elif fmt == "block":
+            d = self._d
+            nrb = self._block_plan_meta.num_row_blocks
+
+            def run(x, y_in, alpha, beta):
+                if "perm" in d:
+                    x = jnp.take(x, d["perm"], axis=0)
+                xb = x.reshape(-1, 1, LANES)
+                y = spmv_block_pallas(
+                    d["data"], d["rows"], d["cols"], d["firsts"], d["lasts"],
+                    xb, nrb, interpret=interp,
+                )
+                y = alpha * y.reshape(-1)[:R]
+                return y if y_in is None else y + beta * y_in
+
+        else:  # stream
+            d = self._d
+            plan = self._stream_plan_meta
+
+            def run(x, y_in, alpha, beta):
+                y = spmv_xla(
+                    d["vals"], d["cols"], d["round_ids"], d["seg_rows"],
+                    plan.num_rounds, R, x,
+                )
+                y = alpha * y
+                return y if y_in is None else y + beta * y_in
+
+        return jax.jit(run)
+
+    def run(self, x, y_in=None, alpha=1.0, beta=0.0) -> jax.Array:
+        """``y = alpha * A @ x + beta * y_in`` (single vector)."""
+        if self._runner is None:
+            self._runner = self._make_runner()
+        x = self._pad_x(jnp.asarray(x, jnp.float32))
+        y_in = None if y_in is None else jnp.asarray(y_in, jnp.float32)
+        return self._runner(
+            x, y_in, jnp.float32(alpha), jnp.float32(beta)
+        )
+
+    # -- batched ----------------------------------------------------------
+
+    def _make_batch_runner(self, batch: int):
+        fmt = self.format
+        interp = self.interpret
+        R = self.shape[0]
+        if fmt == "dense":
+            dense = self._dense
+
+            def run(xb, bias):
+                # xb [B, Cp] -> y [B, R]
+                y = gemv_xla(dense, xb)[:, :R]
+                return y if bias is None else y + bias[None, :]
+
+        elif fmt == "block":
+            d = self._d
+            nrb = self._block_plan_meta.num_row_blocks
+
+            def run(xb, bias):
+                if "perm" in d:
+                    xb = jnp.take(xb, d["perm"], axis=1)
+                # [B, Cp] -> [ncb, LANES, B]
+                xt = xb.T.reshape(-1, LANES, xb.shape[0])
+                y = spmv_block_batched_pallas(
+                    d["data"], d["rows"], d["cols"], d["firsts"], d["lasts"],
+                    xt, nrb, interpret=interp,
+                )  # [nrb, block_h, B]
+                y = y.reshape(-1, xb.shape[0])[:R].T  # [B, R]
+                return y if bias is None else y + bias[None, :]
+
+        else:  # stream: vmap the single-vector path over the batch
+
+            def run(xb, bias):
+                d = self._d
+                plan = self._stream_plan_meta
+                y = jax.vmap(
+                    lambda x: spmv_xla(
+                        d["vals"], d["cols"], d["round_ids"], d["seg_rows"],
+                        plan.num_rounds, R, x,
+                    )
+                )(xb)
+                return y if bias is None else y + bias[None, :]
+
+        return jax.jit(run)
+
+    def linear(self, x_batch, bias=None) -> jax.Array:
+        """Batched ``y[B,R] = x[B,C] @ A.T + bias`` — the DNN-layer entry
+        point (runLinear contract, fpga_handle.cpp:323-388)."""
+        xb = jnp.asarray(x_batch, jnp.float32)
+        squeeze = xb.ndim == 1
+        if squeeze:
+            xb = xb[None, :]
+        xb = self._pad_x(xb)
+        B = int(xb.shape[0])
+        if B not in self._batch_runners:
+            self._batch_runners[B] = self._make_batch_runner(B)
+        bias = None if bias is None else jnp.asarray(bias, jnp.float32)
+        y = self._batch_runners[B](xb, bias)
+        return y[0] if squeeze else y
+
+    def verify(self, x=None, rtol=1e-3, atol=1e-5):
+        """Golden check vs the host matrix (cpuSequential + printErrorStats
+        analog, spmv-helper.cpp:812-895)."""
+        from hispmv_tpu.utils.errors import error_stats
+
+        if x is None:
+            i = np.arange(self.shape[1], dtype=np.float32)
+            x = (i + 2.0) / (i + 1.0)  # spmv-host.cpp:17-23 test vector
+        got = np.asarray(self.run(x))
+        if self.coo is not None:
+            want = self.coo.matvec(np.asarray(x, np.float64))
+        else:
+            dense = np.asarray(self._dense)[: self.shape[0], : self.shape[1]]
+            want = dense.astype(np.float64) @ np.asarray(x, np.float64)
+        return error_stats(got, want, rtol=rtol, atol=atol)
+
+
+def choose_format(coo: COOMatrix, config: SpmvConfig) -> str:
+    """Cheap structural dispatch (full cost-model DSE in hispmv_tpu.tune).
+
+    Mirrors the reference's density rule (fpga_layer_manager.py:40-47:
+    density > 0.5 -> dense) plus a block-fill estimate for the middle
+    ground.
+    """
+    if config.dense_overlay:
+        return "dense"
+    density = coo.nnz / max(coo.num_rows * coo.num_cols, 1)
+    if density > 0.25:
+        return "dense"
+    # Estimate 8x128 block fill from a sample of coordinates.
+    n = coo.nnz
+    if n == 0:
+        return "stream"
+    take = min(n, 250_000)
+    idx = np.linspace(0, n - 1, take).astype(np.int64)
+    rb = coo.rows[idx] // config.block_h
+    cb = coo.cols[idx] // LANES
+    ncb = max(-(-coo.num_cols // LANES), 1)
+    uniq = len(np.unique(rb.astype(np.int64) * ncb + cb))
+    est_blocks = uniq * (n / take)
+    est_fill = n / (est_blocks * config.block_h * LANES)
+    return "block" if est_fill >= config.min_block_fill else "stream"
+
+
+def prepare(
+    matrix: Union[COOMatrix, np.ndarray],
+    config: Optional[SpmvConfig] = None,
+    format: str = "auto",  # noqa: A002
+) -> SpmvHandle:
+    """Module-level convenience: prepare a matrix for repeated execution."""
+    return SpmvHandle(matrix, config=config, format=format)
+
+
+class Accelerator:
+    """Multi-matrix residency + selection + batched linear.
+
+    The FpgaHandle analog (pyhispmv/src/fpga_handle.cpp): create handles for
+    many matrices up front, keep them device-resident, then run any of them
+    back-to-back.  Device "allocation" is JAX arrays held by this registry;
+    ``budget_bytes`` imitates the reference's fixed 256 MiB-per-channel
+    arena (fpga_handle.h:12) by refusing new matrices past the budget.
+    """
+
+    def __init__(self, budget_bytes: Optional[int] = None):
+        self.budget_bytes = budget_bytes
+        self._handles: Dict[int, SpmvHandle] = {}
+        self._next_id = 0
+        self._selected: Optional[int] = None
+        self.loaded = False
+
+    @property
+    def resident_bytes(self) -> int:
+        return sum(h.device_bytes for h in self._handles.values())
+
+    def create_sparse_handle(
+        self,
+        coo: COOMatrix,
+        config: Optional[SpmvConfig] = None,
+        format: str = "auto",  # noqa: A002
+    ) -> int:
+        """Returns a matrix id, or -1 if the memory budget is exhausted
+        (fpga_handle.cpp:192-195 contract)."""
+        h = SpmvHandle(coo, config=config, format=format)
+        return self._register(h)
+
+    def create_dense_handle(self, arr: np.ndarray) -> int:
+        h = SpmvHandle(np.asarray(arr))
+        return self._register(h)
+
+    def _register(self, h: SpmvHandle) -> int:
+        if (
+            self.budget_bytes is not None
+            and self.resident_bytes + h.device_bytes > self.budget_bytes
+        ):
+            return -1
+        mid = self._next_id
+        self._next_id += 1
+        self._handles[mid] = h
+        if self._selected is None:
+            self._selected = mid
+        return mid
+
+    def load_matrices(self) -> None:
+        """Parity with the reference's one-shot sync (fpga_handle.cpp:
+        252-264); arrays are already device-resident, so this just blocks
+        until uploads complete."""
+        for h in self._handles.values():
+            if hasattr(h, "_d"):
+                jax.block_until_ready(list(h._d.values()))
+            elif hasattr(h, "_dense"):
+                jax.block_until_ready(h._dense)
+        self.loaded = True
+
+    def select_matrix(self, mid: int) -> None:
+        if mid not in self._handles:
+            raise KeyError(f"unknown matrix id {mid}")
+        self._selected = mid
+
+    def handle(self, mid: Optional[int] = None) -> SpmvHandle:
+        mid = self._selected if mid is None else mid
+        if mid is None:
+            raise RuntimeError("no matrix loaded")
+        return self._handles[mid]
+
+    def run_kernel(self, x, y_in=None, alpha=1.0, beta=0.0) -> jax.Array:
+        return self.handle().run(x, y_in=y_in, alpha=alpha, beta=beta)
+
+    def linear(self, mid: int, x_batch, bias=None) -> jax.Array:
+        return self.handle(mid).linear(x_batch, bias=bias)

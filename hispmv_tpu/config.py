@@ -41,6 +41,12 @@ class SpmvConfig:
         (assets/base_functions.cpp:257-353).
       index_dtype: dtype name for window-local column indices ("int16" when
         window <= 32768, else "int32"); determines stream bytes/nnz.
+      block_h: block height for the block-ELL format (rows per dense
+        (block_h, 128) sub-block); 8/16/32 are natural vreg tiles.
+      col_reorder: apply the degree-based column permutation before block
+        extraction (densifies power-law matrices; x is permuted at run time).
+      min_block_fill: minimum estimated block fill for the "auto" format
+        dispatch to pick the block path over the gather stream.
     """
 
     sublanes: int = 8
@@ -51,6 +57,9 @@ class SpmvConfig:
     dense_overlay: bool = False
     dual_accumulate: bool = True
     index_dtype: str = "int32"
+    block_h: int = 8
+    col_reorder: bool = False
+    min_block_fill: float = 0.125
 
     @property
     def num_pes(self) -> int:

@@ -120,25 +120,35 @@ def banded_coo(
 
 
 def blocked_coo(
-    rows: int, cols: int, nnz: int, seed: int = 0, block: int = 32
+    rows: int,
+    cols: int,
+    nnz: int,
+    seed: int = 0,
+    group: int = 8,
+    density: float = 0.7,
 ) -> COOMatrix:
-    """Block-clustered matrix: dense-ish blocks scattered near the diagonal,
-    the profile of FEM stiffness matrices (nd6k, crankseg_2, ...)."""
+    """FEM-stiffness-style matrix (nd6k, crankseg_2, ... profile): groups of
+    ``group`` consecutive rows share a contiguous column window near the
+    diagonal and are ~``density`` dense inside it.  This reproduces the
+    clustered structure that makes such matrices block-friendly on real
+    hardware (wide contiguous runs, not isolated scattered nonzeros)."""
     rng = np.random.default_rng(seed)
-    nblocks = max(1, nnz // (block * block))
-    br = rng.integers(0, max(1, rows // block), size=nblocks, dtype=np.int64)
-    spread = max(1, (cols // block) // 16)
-    bc = np.clip(
-        br + rng.integers(-spread, spread + 1, size=nblocks),
+    per_row = max(1, nnz // rows)
+    width = max(int(per_row / density), 8)
+    ngroups = -(-rows // group)
+    base = np.clip(
+        np.arange(ngroups, dtype=np.int64) * group
+        - width // 2
+        + rng.integers(-width // 4, width // 4 + 1, size=ngroups),
         0,
-        max(0, cols // block - 1),
+        max(0, cols - width),
     )
-    # ~70% fill inside each block
-    fill = max(1, int(block * block * 0.7))
-    rr = rng.integers(0, block, size=(nblocks, fill))
-    cc = rng.integers(0, block, size=(nblocks, fill))
-    r = (br[:, None] * block + rr).ravel()
-    c = (bc[:, None] * block + cc).ravel()
+    fill = max(1, int(group * width * density))
+    rr = rng.integers(0, group, size=(ngroups, fill))
+    cc = rng.integers(0, width, size=(ngroups, fill))
+    g = np.arange(ngroups, dtype=np.int64)
+    r = (g[:, None] * group + rr).ravel()
+    c = (base[:, None] + cc).ravel()
     ok = (r < rows) & (c < cols)
     r, c = r[ok], c[ok]
     key = r * cols + c

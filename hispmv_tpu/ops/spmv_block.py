@@ -10,11 +10,11 @@ role of the whole MM2S_A -> ComputeAB -> AccumBuffer pipe for one dense
 - the x col-block is fetched by a scalar-prefetched dynamic index
   (LoadB/B-window analog, :105-150) — no random gather ever happens, the
   planner turned gathers into dense block addressing;
-- the y tile accumulates in VMEM across the consecutive blocks of one
-  row-block and is written exactly once (AccumBuffer contract, :439-504);
-  conflict-freedom is guaranteed by the planner's sort, not by tracking
-  hazards at runtime (the RAW-distance scheduling analog,
-  spmv-helper.cpp:429-515).
+- a (block_h, LANES) VMEM scratch accumulates across the consecutive blocks
+  of one row-block (AccumBuffer contract, :439-504) with a single lane
+  reduction at the row-block's last step; conflict-freedom is guaranteed by
+  the planner's sort, not by tracking hazards at runtime (the RAW-distance
+  scheduling analog, spmv-helper.cpp:429-515).
 
 The alpha/beta epilogue (Compute_C analog, :521-540) runs as ordinary XLA
 ops after the kernel so it fuses with neighbors.
@@ -34,24 +34,32 @@ from hispmv_tpu.plan.blocks import LANES, BlockPlan
 
 
 def _spmv_block_kernel(
-    rows_ref,  # i32 [nblocks] scalar-prefetch: row-block id per step
-    cols_ref,  # i32 [nblocks] scalar-prefetch: col-block id per step
-    firsts_ref,  # i32 [nblocks] scalar-prefetch: 1 = first block of row-block
+    # scalar prefetch
+    rows_ref,  # i32 [nblocks] row-block id per step (sorted)
+    cols_ref,  # i32 [nblocks] col-block id per step
+    firsts_ref,  # i32 [nblocks] 1 = first block of its row-block
+    lasts_ref,  # i32 [nblocks] 1 = last block of its row-block
+    # tensor refs
     a_ref,  # f32 [1, block_h, LANES] current A block
-    x_ref,  # f32 [1, LANES] current x col-block
-    o_ref,  # f32 [1, block_h] y tile (VMEM-resident across a row-block)
+    x_ref,  # f32 [1, 1, LANES] current x col-block
+    o_ref,  # f32 [1, 1, block_h] y tile, written once per row-block
+    # scratch
+    acc_ref,  # f32 [block_h, LANES] VMEM accumulator
 ):
     i = pl.program_id(0)
 
     @pl.when(firsts_ref[i] == 1)
     def _init():
-        o_ref[...] = jnp.zeros_like(o_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    # (block_h, LANES) * (LANES,) -> lane-reduce -> (block_h,).
-    # VPU multiply + reduce keeps full fp32 accuracy (the MXU would be
-    # idle-heavy at width-1 anyway); A-stream HBM traffic dominates.
-    prod = a_ref[0] * x_ref[0][None, :]
-    o_ref[0, :] += jnp.sum(prod, axis=1)
+    # Steady-state step: one VPU FMA over the (block_h, LANES) tile.  Full
+    # fp32 accuracy (no MXU precision truncation); the A-stream HBM traffic
+    # dominates, so VPU throughput is not the bottleneck.
+    acc_ref[...] += a_ref[0] * x_ref[0]
+
+    @pl.when(lasts_ref[i] == 1)
+    def _flush():
+        o_ref[0, 0, :] = jnp.sum(acc_ref[...], axis=1)
 
 
 def spmv_block_pallas(
@@ -59,50 +67,49 @@ def spmv_block_pallas(
     block_rows: jax.Array,  # i32 [nblocks], sorted
     block_cols: jax.Array,  # i32 [nblocks]
     block_firsts: jax.Array,  # i32 [nblocks]
-    x_blocks: jax.Array,  # f32 [num_col_blocks, LANES] (padded x)
+    block_lasts: jax.Array,  # i32 [nblocks]
+    x_blocks: jax.Array,  # f32 [num_col_blocks, 1, LANES] (padded x)
     num_row_blocks: int,
     *,
     interpret: bool = False,
 ) -> jax.Array:
-    """Run the block stream; returns y tiles f32 [num_row_blocks, block_h]."""
+    """Run the block stream; returns y tiles f32 [num_row_blocks, 1, block_h]."""
     nblocks, block_h, lanes = data.shape
     assert lanes == LANES
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(
-                (1, block_h, LANES), lambda i, rows, cols, firsts: (i, 0, 0)
+                (1, block_h, LANES),
+                lambda i, rows, cols, firsts, lasts: (i, 0, 0),
             ),
             pl.BlockSpec(
-                (1, LANES), lambda i, rows, cols, firsts: (cols[i], 0)
+                (1, 1, LANES),
+                lambda i, rows, cols, firsts, lasts: (cols[i], 0, 0),
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_h), lambda i, rows, cols, firsts: (rows[i], 0)
+            (1, 1, block_h),
+            lambda i, rows, cols, firsts, lasts: (rows[i], 0, 0),
         ),
+        scratch_shapes=[pltpu.VMEM((block_h, LANES), jnp.float32)],
     )
 
     return pl.pallas_call(
         _spmv_block_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_row_blocks, block_h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (num_row_blocks, 1, block_h), jnp.float32
+        ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * data.size,
             bytes_accessed=data.size * 4 + x_blocks.size * 4,
             transcendentals=0,
         ),
-    )(block_rows, block_cols, block_firsts, data, x_blocks)
-
-
-def pad_x_blocks(x: jax.Array, num_col_blocks: int) -> jax.Array:
-    """Zero-pad x to the block grid and reshape to [num_col_blocks, LANES]."""
-    pad = num_col_blocks * LANES - x.shape[0]
-    if pad:
-        x = jnp.pad(x, (0, pad))
-    return x.reshape(num_col_blocks, LANES)
+    )(block_rows, block_cols, block_firsts, block_lasts, data, x_blocks)
 
 
 @functools.partial(
@@ -114,8 +121,9 @@ def _spmv_block_jit(
     block_rows,
     block_cols,
     block_firsts,
+    block_lasts,
     col_perm,
-    x,
+    x,  # f32 [ncb * LANES] already padded
     y_in,
     alpha,
     beta,
@@ -127,12 +135,13 @@ def _spmv_block_jit(
 ):
     if has_perm:
         x = jnp.take(x, col_perm, axis=0)
-    xb = pad_x_blocks(x, -(-x.shape[0] // LANES))
+    xb = x.reshape(-1, 1, LANES)
     y = spmv_block_pallas(
         data,
         block_rows,
         block_cols,
         block_firsts,
+        block_lasts,
         xb,
         num_row_blocks,
         interpret=interpret,
@@ -160,8 +169,6 @@ def spmv_block(
     """
     ncb = plan.num_col_blocks
     x = jnp.asarray(x)
-    # Pad x to the plan's column grid before the jitted call so the reshape
-    # inside sees a static multiple of LANES.
     pad = ncb * LANES - x.shape[0]
     if pad > 0:
         x = jnp.pad(x, (0, pad))
@@ -170,8 +177,8 @@ def spmv_block(
         plan.col_perm if has_perm else np.zeros(1, np.int32)
     )
     if has_perm and pad > 0:
-        # Permutation is defined on original columns; padded tail maps to
-        # itself (zeros), so extend it as identity.
+        # Permutation is defined on original columns; the padded tail maps
+        # to itself (zeros).
         perm = jnp.concatenate(
             [perm, jnp.arange(plan.shape[1], ncb * LANES, dtype=jnp.int32)]
         )
@@ -180,6 +187,7 @@ def spmv_block(
         jnp.asarray(plan.block_rows),
         jnp.asarray(plan.block_cols),
         jnp.asarray(plan.block_firsts),
+        jnp.asarray(plan.block_lasts),
         perm,
         x,
         None if y_in is None else jnp.asarray(y_in),
@@ -190,3 +198,96 @@ def spmv_block(
         interpret=interpret,
         has_perm=has_perm,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched variant: y[B] = A @ x[B] for a whole batch per pass.
+#
+# The reference's ``runLinear`` streams the same prepared matrix over a batch
+# of vectors with software double-buffering (pyhispmv/src/fpga_handle.cpp:
+# 323-388).  On TPU the batch dimension instead turns each block step into an
+# MXU matmul (block_h, LANES) @ (LANES, B): A-stream traffic is unchanged,
+# so arithmetic intensity grows B-fold — the TPU-native way to make sparse
+# DNN layers compute-dense.
+# ---------------------------------------------------------------------------
+
+
+def _spmv_block_batched_kernel(
+    rows_ref,
+    cols_ref,
+    firsts_ref,
+    lasts_ref,
+    a_ref,  # f32 [1, block_h, LANES]
+    x_ref,  # f32 [1, LANES, B]
+    o_ref,  # f32 [1, block_h, B]
+    acc_ref,  # f32 [block_h, B]
+):
+    i = pl.program_id(0)
+
+    @pl.when(firsts_ref[i] == 1)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # MXU: (block_h, LANES) @ (LANES, B).  HIGHEST keeps fp32 accuracy
+    # (3-pass bf16 decomposition), required by the rtol=1e-3 acceptance.
+    acc_ref[...] += jnp.dot(
+        a_ref[0],
+        x_ref[0],
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(lasts_ref[i] == 1)
+    def _flush():
+        o_ref[0] = acc_ref[...]
+
+
+def spmv_block_batched_pallas(
+    data: jax.Array,  # f32 [nblocks, block_h, LANES]
+    block_rows: jax.Array,
+    block_cols: jax.Array,
+    block_firsts: jax.Array,
+    block_lasts: jax.Array,
+    x_blocks: jax.Array,  # f32 [num_col_blocks, LANES, B]
+    num_row_blocks: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched block stream; returns y f32 [num_row_blocks, block_h, B]."""
+    nblocks, block_h, lanes = data.shape
+    assert lanes == LANES
+    batch = x_blocks.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_h, LANES),
+                lambda i, rows, cols, firsts, lasts: (i, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, LANES, batch),
+                lambda i, rows, cols, firsts, lasts: (cols[i], 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_h, batch),
+            lambda i, rows, cols, firsts, lasts: (rows[i], 0, 0),
+        ),
+        scratch_shapes=[pltpu.VMEM((block_h, batch), jnp.float32)],
+    )
+
+    return pl.pallas_call(
+        _spmv_block_batched_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_row_blocks, block_h, batch), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * data.size * batch,
+            bytes_accessed=data.size * 4 + x_blocks.size * 4,
+            transcendentals=0,
+        ),
+    )(block_rows, block_cols, block_firsts, block_lasts, data, x_blocks)

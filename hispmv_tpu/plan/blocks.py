@@ -45,6 +45,7 @@ class BlockPlan:
       block_rows: i32 [nblocks] row-block index of each block (sorted).
       block_cols: i32 [nblocks] col-block index of each block.
       block_firsts: i32 [nblocks] 1 where a block starts a new row-block.
+      block_lasts: i32 [nblocks] 1 where a block ends its row-block.
       num_row_blocks / num_col_blocks: padded grid extents.
       col_perm: optional i32 [cols] column permutation applied to the matrix
         (x must be gathered with it before the kernel; used by the
@@ -58,6 +59,7 @@ class BlockPlan:
     block_rows: np.ndarray
     block_cols: np.ndarray
     block_firsts: np.ndarray
+    block_lasts: np.ndarray
     num_row_blocks: int
     num_col_blocks: int
     col_perm: Optional[np.ndarray] = None
@@ -148,6 +150,8 @@ def build_block_plan(
 
     firsts = np.ones(nblocks, np.int32)
     firsts[1:] = (block_rows[1:] != block_rows[:-1]).astype(np.int32)
+    lasts = np.ones(nblocks, np.int32)
+    lasts[:-1] = firsts[1:]
 
     return BlockPlan(
         shape=(R, C),
@@ -157,6 +161,7 @@ def build_block_plan(
         block_rows=block_rows,
         block_cols=block_cols,
         block_firsts=firsts,
+        block_lasts=lasts,
         num_row_blocks=nrb,
         num_col_blocks=ncb,
         col_perm=None if col_perm is None else np.asarray(col_perm, np.int32),

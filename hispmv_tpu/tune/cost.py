@@ -1,0 +1,88 @@
+"""Analytic cost model for the TPU SpMV formats.
+
+Re-creation of the reference's estimator pair for a TPU target:
+
+- ``ResourceEstimator`` (automation_tool/src/resource_est.py) asked "does
+  this design fit the FPGA?"; the TPU analogs are VMEM footprint and HBM
+  residency checks.
+- ``CycleCountEstimator`` (automation_tool/src/cyclecount_est.py:51-55:
+  ``CC = streamA + tiles_r*loadB + updateC``) asked "how long will it run?";
+  on a TPU every format is HBM-bandwidth-bound, so cost = bytes moved /
+  effective bandwidth + a fixed launch overhead, with per-format effective
+  bandwidths calibrated on hardware (the DATA_CLK analog).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceProfile:
+    """Calibrated per-chip constants (fpgas.py device catalog analog)."""
+
+    name: str = "tpu-v5e"
+    hbm_gbps: float = 750.0  # measured via loop-slope sum (spec 819)
+    # Effective fraction of peak HBM the format's access pattern sustains.
+    stream_efficiency: float = 0.55  # gather + segment-sum path
+    block_efficiency: float = 0.85  # contiguous block streaming
+    dense_efficiency: float = 0.90  # plain matmul row streaming
+    launch_overhead_s: float = 3e-6  # on-device dispatch per kernel
+    vmem_bytes: int = 64 * 2**20  # usable VMEM ceiling (conservative)
+    hbm_bytes: int = 12 * 2**30  # usable HBM for resident plans
+
+
+# Default profile used when no calibration file exists.
+V5E = DeviceProfile()
+
+
+class CostModel:
+    """Predict per-run seconds for each format from plan statistics."""
+
+    def __init__(self, profile: DeviceProfile = V5E):
+        self.p = profile
+
+    # -- per-format costs -------------------------------------------------
+
+    def stream_seconds(
+        self, num_steps: int, num_pes: int, rows: int, cols: int
+    ) -> float:
+        """Gather/segment-sum path: 8 B per stream slot (val + col id) plus
+        x gather traffic and y finalize."""
+        stream_bytes = num_steps * num_pes * 8
+        x_bytes = cols * 4  # gathered roughly once (VMEM-cached window)
+        y_bytes = rows * 4
+        eff = self.p.hbm_gbps * 1e9 * self.p.stream_efficiency
+        return (stream_bytes + x_bytes + y_bytes) / eff + self.p.launch_overhead_s
+
+    def block_seconds(
+        self, num_blocks: int, block_h: int, rows: int, cols: int
+    ) -> float:
+        """Block-ELL path: each block moves its dense payload plus one x
+        col-block fetch; y tiles are written once."""
+        a_bytes = num_blocks * block_h * 128 * 4
+        x_bytes = num_blocks * 128 * 4  # col-block per block (VMEM reuse not
+        # modeled: conservative)
+        y_bytes = rows * 4
+        eff = self.p.hbm_gbps * 1e9 * self.p.block_efficiency
+        return (a_bytes + x_bytes + y_bytes) / eff + self.p.launch_overhead_s
+
+    def dense_seconds(self, rows: int, cols: int) -> float:
+        rp, cp = -(-rows // 8) * 8, -(-cols // 128) * 128
+        a_bytes = rp * cp * 4
+        eff = self.p.hbm_gbps * 1e9 * self.p.dense_efficiency
+        return (a_bytes + cp * 4 + rp * 4) / eff + self.p.launch_overhead_s
+
+    # -- residency checks (ResourceEstimator analog) ----------------------
+
+    def block_resident_bytes(self, num_blocks: int, block_h: int) -> int:
+        return num_blocks * (block_h * 128 * 4 + 16)
+
+    def stream_resident_bytes(self, num_steps: int, num_pes: int) -> int:
+        return num_steps * num_pes * 8
+
+    def dense_resident_bytes(self, rows: int, cols: int) -> int:
+        return (-(-rows // 8) * 8) * (-(-cols // 128) * 128) * 4
+
+    def fits(self, resident_bytes: int) -> bool:
+        return resident_bytes <= self.p.hbm_bytes

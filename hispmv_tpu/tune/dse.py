@@ -1,0 +1,218 @@
+"""Design-space exploration: pick the best format + config per matrix.
+
+The automation tool's DSE analog (automation_tool/src/dse.py:23-95).  The
+reference searched FPGA channel counts and crossbar options under a resource
+model; here the axes are:
+
+- format: dense overlay | block-ELL | gather stream,
+- block height: 8 / 16 / 32,
+- column reorder: off / degree-sorted,
+- (stream) long-row split threshold: planner default.
+
+All candidates are costed WITHOUT building full plans: block counts come
+from unique-key counting over the coordinates, stream lengths from a
+rounds-packing simulation over row lengths only — the estimator mirrors the
+planner exactly the way the reference's Python ``PreProcessor`` mirrors its
+C++ scheduler (automation_tool/src/preprocessor.py:10-124 vs
+spmv-helper.cpp:429-515).
+
+Results are cached per matrix fingerprint (best-configs.csv analog,
+automation_tool/src/main.py:53-66).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from hispmv_tpu.config import SpmvConfig
+from hispmv_tpu.formats.matrix import COOMatrix
+from hispmv_tpu.plan.blocks import LANES, degree_column_perm
+from hispmv_tpu.plan.partition import derive_split_threshold
+from hispmv_tpu.tune.cost import CostModel, DeviceProfile, V5E
+
+
+@dataclasses.dataclass
+class TuneResult:
+    format: str
+    config: SpmvConfig
+    est_seconds: float
+    est_gflops: float
+    candidates: list  # [(label, est_seconds), ...] sorted best-first
+
+    def to_json(self) -> dict:
+        return {
+            "format": self.format,
+            "config": dataclasses.asdict(self.config),
+            "est_seconds": self.est_seconds,
+            "est_gflops": self.est_gflops,
+            "candidates": self.candidates,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TuneResult":
+        return TuneResult(
+            format=d["format"],
+            config=SpmvConfig(**d["config"]),
+            est_seconds=d["est_seconds"],
+            est_gflops=d["est_gflops"],
+            candidates=[tuple(c) for c in d["candidates"]],
+        )
+
+
+def matrix_fingerprint(coo: COOMatrix) -> str:
+    """Cheap content hash: shape, nnz, and a strided coordinate sample."""
+    h = hashlib.sha256()
+    h.update(np.asarray([*coo.shape, coo.nnz], np.int64).tobytes())
+    if coo.nnz:
+        idx = np.linspace(0, coo.nnz - 1, min(coo.nnz, 4096)).astype(np.int64)
+        h.update(coo.rows[idx].tobytes())
+        h.update(coo.cols[idx].tobytes())
+    return h.hexdigest()[:24]
+
+
+def estimate_stream_steps(
+    row_len: np.ndarray, num_pes: int, split_threshold: int
+) -> int:
+    """Predict the stream planner's total step count without building it.
+
+    Mirrors plan/partition.py:build_plan: segment rows at the threshold,
+    sort descending, rounds of ``num_pes``; steps per round = size of its
+    largest segment."""
+    nz = row_len[row_len > 0]
+    if len(nz) == 0:
+        return 0
+    n_splits = -(-nz // split_threshold)
+    # Segment sizes: (n_splits - 1) full chunks + remainder per row.
+    full = (n_splits - 1).sum()
+    rem = nz - (n_splits - 1) * split_threshold
+    seg_len = np.concatenate(
+        [np.full(int(full), split_threshold, np.int64), rem]
+    )
+    seg_len = np.sort(seg_len)[::-1]
+    E = -(-len(seg_len) // num_pes)
+    return int(seg_len[np.arange(E) * num_pes].sum())
+
+
+def count_blocks(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    block_h: int,
+    num_cols: int,
+) -> int:
+    """Exact number of distinct (row_block, col_block) keys.
+
+    One sort over the coordinates — seconds even at 30M nnz, in line with
+    the reference's preprocessing budget (0.03-18.5 s, U280_metrics.csv)."""
+    n = len(rows)
+    if n == 0:
+        return 0
+    ncb = max(-(-num_cols // LANES), 1)
+    key = (rows.astype(np.int64) // block_h) * ncb + cols // LANES
+    key.sort()
+    return int(1 + np.count_nonzero(np.diff(key)))
+
+
+class DSE:
+    """Exhaustive search over the candidate grid under the cost model."""
+
+    def __init__(self, profile: DeviceProfile = V5E):
+        self.model = CostModel(profile)
+
+    def explore(self, coo: COOMatrix, base: Optional[SpmvConfig] = None) -> TuneResult:
+        base = base or SpmvConfig()
+        R, C = coo.shape
+        nnz = coo.nnz
+        flops = 2 * (nnz + R)
+        cands = []
+
+        # Dense overlay.
+        density = nnz / max(R * C, 1)
+        dense_bytes = self.model.dense_resident_bytes(R, C)
+        if self.model.fits(dense_bytes) and density > 0.01:
+            cands.append(
+                ("dense", self.model.dense_seconds(R, C),
+                 dataclasses.replace(base, dense_overlay=True))
+            )
+
+        # Block-ELL: block_h x reorder grid.
+        perm_cols = None
+        for reorder in (False, True):
+            if reorder:
+                if perm_cols is None:
+                    perm = degree_column_perm(coo)
+                    inv = np.empty(C, np.int64)
+                    inv[perm] = np.arange(C)
+                    perm_cols = inv[coo.cols]
+                cols = perm_cols
+            else:
+                cols = coo.cols
+            for bh in (8, 16, 32):
+                nb = count_blocks(coo.rows, cols, bh, C)
+                # Account for zero-block insertion on empty row-blocks.
+                nb = max(nb, -(-R // bh))
+                if not self.model.fits(self.model.block_resident_bytes(nb, bh)):
+                    continue
+                label = f"block{bh}{'-perm' if reorder else ''}"
+                cands.append(
+                    (label, self.model.block_seconds(nb, bh, R, C),
+                     dataclasses.replace(
+                         base, block_h=bh, col_reorder=reorder))
+                )
+
+        # Gather stream.
+        P = base.num_pes
+        thresh = base.split_threshold or derive_split_threshold(nnz, P)
+        steps = estimate_stream_steps(coo.row_lengths(), P, thresh)
+        if self.model.fits(self.model.stream_resident_bytes(steps, P)):
+            cands.append(
+                ("stream", self.model.stream_seconds(steps, P, R, C), base)
+            )
+
+        if not cands:
+            raise RuntimeError("no candidate fits device memory")
+        cands.sort(key=lambda c: c[1])
+        label, secs, cfg = cands[0]
+        fmt = "dense" if label == "dense" else (
+            "stream" if label == "stream" else "block"
+        )
+        return TuneResult(
+            format=fmt,
+            config=cfg,
+            est_seconds=secs,
+            est_gflops=flops / secs / 1e9,
+            candidates=[(lbl, s) for lbl, s, _ in cands],
+        )
+
+
+def tune(
+    coo: COOMatrix,
+    cache_path: Optional[str] = None,
+    profile: DeviceProfile = V5E,
+) -> TuneResult:
+    """DSE with a persistent JSON cache keyed by matrix fingerprint."""
+    key = None
+    if cache_path:
+        key = f"{matrix_fingerprint(coo)}:{profile.name}"
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cache = json.load(f)
+            if key in cache:
+                return TuneResult.from_json(cache[key])
+    result = DSE(profile).explore(coo)
+    if cache_path and key:
+        cache = {}
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cache = json.load(f)
+        cache[key] = result.to_json()
+        tmp = cache_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1)
+        os.replace(tmp, cache_path)
+    return result

@@ -1,0 +1,99 @@
+"""Device-honest kernel timing.
+
+The reference times kernels with a repeat loop on the device, excluding
+transfers (``rp_time`` repeats, common/src/spmv-helper.cpp:1014-1036).  We
+need the same discipline for a different reason: through remote-relayed JAX
+backends, per-call wall time is dominated by RPC latency and argument
+shipping, and ``block_until_ready`` can return before real completion.  The
+loop-slope method recovers pure device step time:
+
+    T(n) = overhead + n * t_step      =>      t_step = (T(n2) - T(n1)) / (n2 - n1)
+
+where the n iterations run inside ONE jitted ``lax.fori_loop`` with a real
+data dependency chaining them (so XLA cannot hoist or elide work), and
+completion is forced by fetching a scalar checksum to the host.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _first_leaf(tree):
+    return jax.tree_util.tree_leaves(tree)[0]
+
+
+def measure_loop_time(
+    step: Callable,
+    carry0,
+    *,
+    n_pair: Tuple[int, int] = (1, 17),
+    repeats: int = 3,
+) -> float:
+    """Measure seconds per device execution of ``step``.
+
+    Args:
+      step: ``carry -> carry`` function.  MUST thread a data dependency
+        through the carry (every iteration's inputs depend on the previous
+        iteration's outputs), or XLA will hoist the body out of the loop and
+        the measurement is meaningless.
+      carry0: initial carry (pytree of arrays).
+      n_pair: the two loop lengths whose timing difference gives the slope.
+      repeats: best-of-N wall-clock samples per loop length.
+
+    Returns:
+      Estimated seconds per step (slope).
+    """
+    n_lo, n_hi = n_pair
+
+    @jax.jit
+    def run(carry, salt, n):
+        # Salt defeats any (function, args) result caching in relayed
+        # backends without perturbing the math measurably.  n is traced so
+        # both loop lengths share one compiled executable.
+        leaves, treedef = jax.tree_util.tree_flatten(carry)
+        leaves[0] = leaves[0] + jnp.asarray(salt, leaves[0].dtype) * 1e-30
+        carry = jax.tree_util.tree_unflatten(treedef, leaves)
+        carry = jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
+        chk = jnp.sum(_first_leaf(carry).ravel()[:1].astype(jnp.float32))
+        return carry, chk
+
+    # Warm up the (single) compile and the arg transfer.
+    _, chk = run(carry0, 0.0, jnp.int32(n_lo))
+    float(chk)
+
+    salt = [1.0]
+
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(repeats):
+            salt[0] += 1.0
+            t0 = time.perf_counter()
+            _, chk = run(carry0, salt[0], jnp.int32(n))
+            float(chk)  # host fetch forces true completion
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(n_lo), timed(n_hi)
+    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-12)
+
+
+def spmv_step_wrapper(kernel: Callable, x0: jax.Array):
+    """Build a self-chaining step for an ``x -> y`` SpMV-like kernel.
+
+    The returned ``(step, carry0)`` pair feeds a negligible function of y
+    back into x so iterations are data-dependent but numerically stable.
+    """
+
+    def step(carry):
+        x, acc = carry
+        y = kernel(x)
+        dep = y.ravel()[:1].astype(x.dtype) * 1e-30
+        return (x + dep, acc + dep[0])
+
+    return step, (x0, jnp.zeros((), x0.dtype))

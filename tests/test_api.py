@@ -1,0 +1,137 @@
+"""SpmvHandle / Accelerator API tests — the general_test.py analog.
+
+Covers: auto format dispatch, prepare-once/run-many, multi-matrix residency,
+batched linear, memory budget, golden verification."""
+
+import numpy as np
+import pytest
+
+from hispmv_tpu.api import Accelerator, SpmvHandle, prepare
+from hispmv_tpu.config import SpmvConfig
+from hispmv_tpu.formats.matrix import coo_from_dense
+from hispmv_tpu.formats.synth import (
+    banded_coo,
+    powerlaw_coo,
+    random_coo,
+)
+
+
+def golden(coo, x, y_in=None, alpha=1.0, beta=0.0):
+    y = alpha * (coo.to_scipy() @ x.astype(np.float64))
+    if y_in is not None:
+        y = y + beta * y_in
+    return y.astype(np.float32)
+
+
+@pytest.mark.parametrize("fmt", ["stream", "block", "dense"])
+def test_handle_formats_agree(fmt):
+    coo = random_coo(300, 200, 4000, seed=0)
+    h = SpmvHandle(coo, format=fmt)
+    assert h.format == fmt
+    x = np.random.default_rng(1).standard_normal(200).astype(np.float32)
+    got = np.asarray(h.run(x))
+    np.testing.assert_allclose(got, golden(coo, x), rtol=1e-3, atol=1e-4)
+
+
+def test_handle_axpby_and_repeat():
+    coo = banded_coo(400, 400, 4000, seed=1)
+    h = prepare(coo)
+    rng = np.random.default_rng(2)
+    for _ in range(3):  # run-many with the same handle
+        x = rng.standard_normal(400).astype(np.float32)
+        y_in = rng.standard_normal(400).astype(np.float32)
+        got = np.asarray(h.run(x, y_in, alpha=2.0, beta=0.5))
+        np.testing.assert_allclose(
+            got, golden(coo, x, y_in, 2.0, 0.5), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_auto_dispatch_dense():
+    dense = np.random.default_rng(0).standard_normal((64, 130))
+    dense = dense.astype(np.float32)
+    coo = coo_from_dense(dense)  # density ~1.0
+    h = SpmvHandle(coo, format="auto")
+    assert h.format == "dense"
+
+
+def test_auto_dispatch_stream_for_scattered():
+    coo = random_coo(5000, 100_000, 20_000, seed=3)  # ~1 nnz per block
+    h = SpmvHandle(coo, format="auto")
+    assert h.format == "stream"
+    x = np.random.default_rng(1).standard_normal(100_000).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_auto_dispatch_block_for_banded():
+    coo = banded_coo(2000, 2000, 60_000, seed=4, bandwidth=60)
+    h = SpmvHandle(coo, format="auto")
+    assert h.format == "block"
+
+
+def test_verify_method():
+    coo = powerlaw_coo(300, 300, 5000, seed=5)
+    stats = SpmvHandle(coo, format="stream").verify()
+    assert stats.ok, f"max rel err {stats.max_rel_error}"
+
+
+@pytest.mark.parametrize("fmt", ["block", "dense", "stream"])
+def test_linear_batched(fmt):
+    coo = random_coo(256, 192, 6000, seed=6)
+    h = SpmvHandle(coo, format=fmt)
+    rng = np.random.default_rng(7)
+    xb = rng.standard_normal((8, 192)).astype(np.float32)
+    bias = rng.standard_normal(256).astype(np.float32)
+    got = np.asarray(h.linear(xb, bias))
+    want = (coo.to_scipy() @ xb.astype(np.float64).T).T + bias
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-3, atol=1e-4)
+    # single-vector shape passthrough
+    got1 = np.asarray(h.linear(xb[0], bias))
+    np.testing.assert_allclose(got1, got[0], rtol=1e-5, atol=1e-6)
+
+
+def test_accelerator_residency_and_select():
+    acc = Accelerator()
+    coo_a = random_coo(100, 80, 800, seed=8)
+    coo_b = banded_coo(200, 200, 2000, seed=9)
+    dense_w = np.random.default_rng(10).standard_normal((50, 40)).astype(np.float32)
+    ia = acc.create_sparse_handle(coo_a, format="stream")
+    ib = acc.create_sparse_handle(coo_b, format="block")
+    ic = acc.create_dense_handle(dense_w)
+    assert {ia, ib, ic} == {0, 1, 2}
+    acc.load_matrices()
+    assert acc.loaded and acc.resident_bytes > 0
+
+    xa = np.random.default_rng(11).standard_normal(80).astype(np.float32)
+    xb = np.random.default_rng(12).standard_normal(200).astype(np.float32)
+    xc = np.random.default_rng(13).standard_normal(40).astype(np.float32)
+
+    acc.select_matrix(ib)
+    np.testing.assert_allclose(
+        np.asarray(acc.run_kernel(xb)), golden(coo_b, xb), rtol=1e-3, atol=1e-4
+    )
+    acc.select_matrix(ia)
+    np.testing.assert_allclose(
+        np.asarray(acc.run_kernel(xa)), golden(coo_a, xa), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(acc.linear(ic, xc)), dense_w @ xc, rtol=1e-3, atol=1e-4
+    )
+
+
+def test_accelerator_budget_exhaustion():
+    acc = Accelerator(budget_bytes=1)  # absurdly small
+    mid = acc.create_sparse_handle(random_coo(100, 100, 500, seed=14))
+    assert mid == -1  # fpga_handle.cpp:192-195 contract
+
+
+def test_block_with_col_reorder_config():
+    coo = powerlaw_coo(1000, 1000, 30_000, seed=15)
+    h = SpmvHandle(
+        coo, config=SpmvConfig(col_reorder=True), format="block"
+    )
+    x = np.random.default_rng(16).standard_normal(1000).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4
+    )

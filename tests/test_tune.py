@@ -1,0 +1,101 @@
+"""Autotuner (DSE + cost model) tests — automation_tool analog.
+
+Checks: estimator mirrors the planner (the PreProcessor-vs-C++ contract,
+SURVEY.md section 4 item 7), format choices are sensible per structure,
+cache round-trips."""
+
+import numpy as np
+
+from hispmv_tpu.config import SpmvConfig
+from hispmv_tpu.formats.matrix import coo_from_dense
+from hispmv_tpu.formats.synth import banded_coo, powerlaw_coo, random_coo
+from hispmv_tpu.plan.partition import build_plan, derive_split_threshold
+from hispmv_tpu.plan.blocks import build_block_plan
+from hispmv_tpu.tune import DSE, tune
+from hispmv_tpu.tune.dse import (
+    count_blocks,
+    estimate_stream_steps,
+    matrix_fingerprint,
+)
+
+
+def test_stream_step_estimator_matches_planner():
+    for coo in [
+        powerlaw_coo(500, 500, 20_000, seed=0),
+        banded_coo(300, 300, 3000, seed=1),
+        random_coo(257, 129, 2000, seed=2),
+    ]:
+        cfg = SpmvConfig()
+        plan = build_plan(coo, cfg)
+        thresh = cfg.split_threshold or derive_split_threshold(
+            coo.nnz, cfg.num_pes
+        )
+        est = estimate_stream_steps(coo.row_lengths(), cfg.num_pes, thresh)
+        assert est == plan.num_steps, (est, plan.num_steps)
+
+
+def test_block_count_exact_when_unsampled():
+    coo = powerlaw_coo(2000, 2000, 50_000, seed=3)
+    for bh in (8, 16, 32):
+        got = count_blocks(coo.rows, coo.cols, bh, coo.num_cols)
+        plan = build_block_plan(coo, block_h=bh)
+        # planner inserts zero blocks for empty row-blocks; estimator counts
+        # only nonzero blocks
+        real = plan.num_blocks
+        assert got <= real
+        assert real - got <= plan.num_row_blocks
+
+
+def test_dse_picks_dense_for_dense_matrix():
+    dense = np.random.default_rng(0).standard_normal((256, 256)).astype(np.float32)
+    res = DSE().explore(coo_from_dense(dense))
+    assert res.format == "dense"
+
+
+def test_dse_picks_block_for_block_structured():
+    # Dense 32x32 sub-blocks at ~70% fill: the block format moves fewer
+    # bytes/nnz than the 8 B/nnz gather stream, so the DSE must pick it.
+    from hispmv_tpu.formats.synth import blocked_coo
+
+    coo = blocked_coo(18_000, 18_000, 6_000_000, seed=4)
+    res = DSE().explore(coo)
+    assert res.format == "block", res.candidates
+
+
+def test_dse_picks_stream_for_hypersparse():
+    coo = random_coo(50_000, 1_000_000, 100_000, seed=5)
+    res = DSE().explore(coo)
+    assert res.format == "stream", res.candidates
+
+
+def test_dse_candidates_ranked():
+    coo = powerlaw_coo(5000, 5000, 100_000, seed=6)
+    res = DSE().explore(coo)
+    secs = [s for _, s in res.candidates]
+    assert secs == sorted(secs)
+    assert res.est_seconds == secs[0]
+    assert res.est_gflops > 0
+
+
+def test_tune_cache_roundtrip(tmp_path):
+    coo = powerlaw_coo(1000, 1000, 20_000, seed=7)
+    cache = str(tmp_path / "best_configs.json")
+    r1 = tune(coo, cache_path=cache)
+    r2 = tune(coo, cache_path=cache)  # hits cache
+    assert r1.format == r2.format
+    assert r1.config == r2.config
+    assert abs(r1.est_seconds - r2.est_seconds) < 1e-12
+    # different matrix gets its own entry
+    r3 = tune(random_coo(500, 500, 5000, seed=8), cache_path=cache)
+    import json
+
+    with open(cache) as f:
+        assert len(json.load(f)) == 2
+    assert r3 is not None
+
+
+def test_fingerprint_distinguishes():
+    a = random_coo(100, 100, 1000, seed=9)
+    b = random_coo(100, 100, 1000, seed=10)
+    assert matrix_fingerprint(a) != matrix_fingerprint(b)
+    assert matrix_fingerprint(a) == matrix_fingerprint(a)
