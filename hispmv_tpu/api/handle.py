@@ -41,6 +41,11 @@ from hispmv_tpu.ops.spmv_block import (
     spmv_block_batched_pallas,
     spmv_block_pallas,
 )
+from hispmv_tpu.ops.spmv_chunked import (
+    DEFAULT_CHUNK,
+    pack_chunks,
+    spmv_chunked_pallas,
+)
 from hispmv_tpu.ops.spmv_ref import spmv_xla
 from hispmv_tpu.plan.blocks import (
     LANES,
@@ -125,6 +130,15 @@ class SpmvHandle:
         self._fill = 1.0
         self.device_bytes = int(self._dense.nbytes)
 
+    # VMEM budget for the chunked kernel's resident x + y (+2 chunk buffers
+    # and slack); conservatively below the ~16 MiB/core VMEM.
+    _CHUNKED_VMEM_BUDGET = 10 * 2**20
+
+    def _block_fits_chunked(self, plan) -> bool:
+        xy = (plan.num_col_blocks * LANES + plan.num_row_blocks * plan.block_h) * 4
+        chunk_bytes = 2 * DEFAULT_CHUNK * plan.block_h * LANES * 4
+        return xy + chunk_bytes <= self._CHUNKED_VMEM_BUDGET
+
     def _prepare_block(self, coo: COOMatrix):
         cfg = self.config
         perm = None
@@ -134,13 +148,21 @@ class SpmvHandle:
         # Keep a second, identity-extended permutation covering column
         # padding so the runner can gather in one take().
         self._block_plan_meta = plan
-        self._d = {
-            "data": jnp.asarray(plan.data),
-            "rows": jnp.asarray(plan.block_rows),
-            "cols": jnp.asarray(plan.block_cols),
-            "firsts": jnp.asarray(plan.block_firsts),
-            "lasts": jnp.asarray(plan.block_lasts),
-        }
+        self._chunked = self._block_fits_chunked(plan)
+        if self._chunked:
+            data3d, meta, _ = pack_chunks(plan, DEFAULT_CHUNK)
+            self._d = {
+                "data": jnp.asarray(data3d),
+                "meta": jnp.asarray(meta),
+            }
+        else:
+            self._d = {
+                "data": jnp.asarray(plan.data),
+                "rows": jnp.asarray(plan.block_rows),
+                "cols": jnp.asarray(plan.block_cols),
+                "firsts": jnp.asarray(plan.block_firsts),
+                "lasts": jnp.asarray(plan.block_lasts),
+            }
         if plan.col_perm is not None:
             full = np.concatenate(
                 [
@@ -202,16 +224,25 @@ class SpmvHandle:
 
         elif fmt == "block":
             d = self._d
-            nrb = self._block_plan_meta.num_row_blocks
+            plan = self._block_plan_meta
+            nrb = plan.num_row_blocks
+            chunked = self._chunked
+            bh = plan.block_h
 
             def run(x, y_in, alpha, beta):
                 if "perm" in d:
                     x = jnp.take(x, d["perm"], axis=0)
-                xb = x.reshape(-1, 1, LANES)
-                y = spmv_block_pallas(
-                    d["data"], d["rows"], d["cols"], d["firsts"], d["lasts"],
-                    xb, nrb, interpret=interp,
-                )
+                if chunked:
+                    y = spmv_chunked_pallas(
+                        d["data"], d["meta"], x.reshape(-1, LANES),
+                        nrb, bh, DEFAULT_CHUNK, interpret=interp,
+                    )
+                else:
+                    y = spmv_block_pallas(
+                        d["data"], d["rows"], d["cols"], d["firsts"],
+                        d["lasts"], x.reshape(-1, 1, LANES), nrb,
+                        interpret=interp,
+                    )
                 y = alpha * y.reshape(-1)[:R]
                 return y if y_in is None else y + beta * y_in
 
@@ -255,7 +286,23 @@ class SpmvHandle:
 
         elif fmt == "block":
             d = self._d
-            nrb = self._block_plan_meta.num_row_blocks
+            plan = self._block_plan_meta
+            nrb = plan.num_row_blocks
+            if self._chunked:
+                # The batched MXU kernel wants per-block arrays; upload them
+                # lazily (kept separate from the chunked single-vector
+                # stream).
+                if not hasattr(self, "_batch_d"):
+                    self._batch_d = {
+                        "data": jnp.asarray(plan.data),
+                        "rows": jnp.asarray(plan.block_rows),
+                        "cols": jnp.asarray(plan.block_cols),
+                        "firsts": jnp.asarray(plan.block_firsts),
+                        "lasts": jnp.asarray(plan.block_lasts),
+                    }
+                bd = self._batch_d
+            else:
+                bd = d
 
             def run(xb, bias):
                 if "perm" in d:
@@ -263,8 +310,8 @@ class SpmvHandle:
                 # [B, Cp] -> [ncb, LANES, B]
                 xt = xb.T.reshape(-1, LANES, xb.shape[0])
                 y = spmv_block_batched_pallas(
-                    d["data"], d["rows"], d["cols"], d["firsts"], d["lasts"],
-                    xt, nrb, interpret=interp,
+                    bd["data"], bd["rows"], bd["cols"], bd["firsts"],
+                    bd["lasts"], xt, nrb, interpret=interp,
                 )  # [nrb, block_h, B]
                 y = y.reshape(-1, xb.shape[0])[:R].T  # [B, R]
                 return y if bias is None else y + bias[None, :]

@@ -1,0 +1,221 @@
+"""Multi-chip SpMV: nnz-balanced row sharding over a device mesh.
+
+The reference is single-device; its "interconnect" is 28 HBM pseudo-channels
+with explicit physical binding (SURVEY.md section 2.7).  The TPU-native
+distributed design:
+
+- rows are sharded across devices in contiguous row-block runs, with the
+  split points chosen so each device carries an (approximately) equal number
+  of dense blocks — i.e. equal HBM bytes, the direct analog of the reference's
+  per-PE nnz balancing (spmv-helper.cpp:265-347) lifted to the device level;
+- x is either replicated or column-sharded and ``all_gather``-ed over ICI
+  inside the ``shard_map`` body (the LoadB window-broadcast analog);
+- y comes out row-sharded with no communication (partial sums never cross
+  devices — the planner keeps whole row-blocks on one device).
+
+Everything is static-shaped: per-device block streams are padded to the
+maximum shard length with no-op blocks (the zero-padding stream entry
+analog, spmv-helper.cpp:622-637).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hispmv_tpu.formats.matrix import COOMatrix
+from hispmv_tpu.ops.spmv_block import spmv_block_pallas
+from hispmv_tpu.plan.blocks import LANES, BlockPlan, build_block_plan
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@dataclasses.dataclass
+class ShardedBlockPlan:
+    """Per-device stacked block streams (leading axis = device)."""
+
+    shape: tuple
+    nnz: int
+    block_h: int
+    num_devices: int
+    # stacked, padded arrays; leading dim D
+    data: np.ndarray  # f32 [D, nb_max, block_h, LANES]
+    block_rows: np.ndarray  # i32 [D, nb_max] LOCAL row-block ids
+    block_cols: np.ndarray  # i32 [D, nb_max]
+    block_firsts: np.ndarray  # i32 [D, nb_max]
+    block_lasts: np.ndarray  # i32 [D, nb_max]
+    nrb_per_dev: tuple  # real row-blocks per device
+    nrb_max: int
+    num_col_blocks: int
+    blocks_per_dev: tuple  # real (unpadded) block count per device
+
+    @property
+    def balance(self) -> float:
+        """max/mean block load across devices (1.0 = perfect)."""
+        loads = np.asarray(self.blocks_per_dev, np.float64)
+        return float(loads.max() / max(loads.mean(), 1e-9))
+
+
+def _split_boundaries(counts: np.ndarray, parts: int) -> np.ndarray:
+    """Split a sequence of per-item weights into ``parts`` contiguous chunks
+    with near-equal weight (prefix-sum bisection)."""
+    cum = np.concatenate([[0], np.cumsum(counts)])
+    total = cum[-1]
+    targets = total * np.arange(1, parts) / parts
+    cuts = np.searchsorted(cum, targets, side="left")
+    cuts = np.clip(cuts, 1, len(counts))
+    # ensure strictly increasing so every device gets >= 0 items
+    for i in range(1, len(cuts)):
+        if cuts[i] <= cuts[i - 1]:
+            cuts[i] = min(cuts[i - 1] + 1, len(counts))
+    return np.concatenate([[0], cuts, [len(counts)]]).astype(np.int64)
+
+
+def build_sharded_block_plan(
+    coo: COOMatrix,
+    num_devices: int,
+    block_h: int = 8,
+    col_perm: Optional[np.ndarray] = None,
+) -> ShardedBlockPlan:
+    """Build one global block plan, then cut it into balanced device shards."""
+    plan: BlockPlan = build_block_plan(coo, block_h=block_h, col_perm=col_perm)
+    nrb = plan.num_row_blocks
+    # blocks per row-block (row_blocks are sorted in the plan)
+    blocks_per_rb = np.bincount(plan.block_rows, minlength=nrb)
+    bounds = _split_boundaries(blocks_per_rb, num_devices)
+
+    # slice the flat block stream per device
+    rb_starts = np.concatenate([[0], np.cumsum(blocks_per_rb)])
+    dev_slices = [
+        (int(rb_starts[bounds[d]]), int(rb_starts[bounds[d + 1]]))
+        for d in range(num_devices)
+    ]
+    nb_real = [e - s for s, e in dev_slices]
+    nb_max = max(max(nb_real), 1)
+    nrb_per_dev = tuple(
+        int(bounds[d + 1] - bounds[d]) for d in range(num_devices)
+    )
+    nrb_max = max(max(nrb_per_dev), 1)
+
+    D = num_devices
+    data = np.zeros((D, nb_max, block_h, LANES), np.float32)
+    rows = np.zeros((D, nb_max), np.int32)
+    cols = np.zeros((D, nb_max), np.int32)
+    firsts = np.zeros((D, nb_max), np.int32)
+    lasts = np.zeros((D, nb_max), np.int32)
+    for d, (s, e) in enumerate(dev_slices):
+        n = e - s
+        if n == 0:
+            # degenerate empty shard: one zero block on local row-block 0
+            rows[d, 0] = 0
+            firsts[d, 0] = 1
+            lasts[d, 0] = 1
+            continue
+        data[d, :n] = plan.data[s:e]
+        rows[d, :n] = plan.block_rows[s:e] - int(bounds[d])  # localize
+        cols[d, :n] = plan.block_cols[s:e]
+        firsts[d, :n] = plan.block_firsts[s:e]
+        lasts[d, :n] = plan.block_lasts[s:e]
+        # padding blocks: revisit the shard's last row-block, contribute
+        # nothing, never flush (data stays zero, firsts/lasts stay 0)
+        if n < nb_max:
+            rows[d, n:] = rows[d, n - 1]
+
+    return ShardedBlockPlan(
+        shape=plan.shape,
+        nnz=plan.nnz,
+        block_h=block_h,
+        num_devices=D,
+        data=data,
+        block_rows=rows,
+        block_cols=cols,
+        block_firsts=firsts,
+        block_lasts=lasts,
+        nrb_per_dev=nrb_per_dev,
+        nrb_max=nrb_max,
+        num_col_blocks=plan.num_col_blocks,
+        blocks_per_dev=tuple(nb_real),
+    )
+
+
+def spmv_sharded(
+    splan: ShardedBlockPlan,
+    x,
+    mesh: Mesh,
+    *,
+    x_mode: str = "replicated",  # "replicated" | "gather"
+    interpret: bool = False,
+) -> jax.Array:
+    """Distributed ``y = A @ x``; returns the full y (row shards gathered).
+
+    ``x_mode="gather"`` shards x over the mesh and all-gathers it over ICI
+    inside the shard_map body — the multi-chip LoadB analog.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    axis = mesh.axis_names[0]
+    D = splan.num_devices
+    bh = splan.block_h
+    nrb_max = splan.nrb_max
+    Cp = splan.num_col_blocks * LANES
+
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[0] != splan.shape[1]:
+        raise ValueError(
+            f"x has {x.shape[0]} entries, matrix has {splan.shape[1]} columns"
+        )
+    if Cp > x.shape[0]:
+        x = jnp.pad(x, (0, Cp - x.shape[0]))
+    # pad further so x splits evenly across devices for "gather" mode
+    per_dev = -(-Cp // (D * LANES)) * LANES
+    if per_dev * D > x.shape[0]:
+        x = jnp.pad(x, (0, per_dev * D - x.shape[0]))
+
+    args = (
+        jnp.asarray(splan.data),
+        jnp.asarray(splan.block_rows),
+        jnp.asarray(splan.block_cols),
+        jnp.asarray(splan.block_firsts),
+        jnp.asarray(splan.block_lasts),
+    )
+
+    def body(data, rows, cols, firsts, lasts, x_in):
+        # local views have a leading length-1 device axis
+        data, rows, cols = data[0], rows[0], cols[0]
+        firsts, lasts = firsts[0], lasts[0]
+        if x_mode == "gather":
+            xg = jax.lax.all_gather(x_in, axis, tiled=True)
+        else:
+            xg = x_in
+        xb = xg[:Cp].reshape(-1, 1, LANES)
+        y = spmv_block_pallas(
+            data, rows, cols, firsts, lasts, xb, nrb_max,
+            interpret=interpret,
+        )  # [nrb_max, 1, bh]
+        return y.reshape(1, nrb_max * bh)
+
+    x_spec = P(axis) if x_mode == "gather" else P()
+    y_sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), x_spec),
+        out_specs=P(axis),
+        check_rep=False,
+    )(*args, x)
+
+    # reassemble: device d contributes its first nrb_per_dev[d]*bh entries
+    pieces = [
+        y_sharded[d, : splan.nrb_per_dev[d] * bh] for d in range(D)
+    ]
+    y = jnp.concatenate(pieces)
+    return y[: splan.shape[0]]

@@ -160,7 +160,7 @@ def blocked_coo(
 
 
 def powerlaw_coo(
-    rows: int, cols: int, nnz: int, seed: int = 0, alpha: float = 1.8
+    rows: int, cols: int, nnz: int, seed: int = 0, alpha: float = 1.0
 ) -> COOMatrix:
     """Scale-free matrix with Zipf-distributed row AND column degrees — the
     highly imbalanced profile (soc-Pokec et al.) that motivates the
@@ -172,16 +172,26 @@ def powerlaw_coo(
     w = 1.0 / np.arange(1, rows + 1, dtype=np.float64) ** alpha
     rng.shuffle(w)
     w /= w.sum()
-    counts = rng.multinomial(nnz, w)
-    r = np.repeat(np.arange(rows, dtype=np.int64), counts)
     # Zipf column weights (independently shuffled).
-    wc = 1.0 / np.arange(1, cols + 1, dtype=np.float64) ** alpha
+    # Column (in-degree) tail is typically lighter: rank exponent ~0.7x.
+    wc = 1.0 / np.arange(1, cols + 1, dtype=np.float64) ** (0.7 * alpha)
     rng.shuffle(wc)
     wc /= wc.sum()
-    c = rng.choice(cols, size=len(r), p=wc).astype(np.int64)
-    key = r * cols + c
-    _, idx = np.unique(key, return_index=True)
-    r, c = r[idx], c[idx]
+    # Hub x hub pairs collide massively under independent sampling; draw in
+    # rounds until the UNIQUE pair count reaches the target (real graphs
+    # have distinct edges).
+    keys = np.array([], np.int64)
+    for _ in range(6):
+        need = nnz - len(keys)
+        if need <= 0:
+            break
+        counts = rng.multinomial(int(need * 1.5), w)
+        r = np.repeat(np.arange(rows, dtype=np.int64), counts)
+        c = rng.choice(cols, size=len(r), p=wc).astype(np.int64)
+        keys = np.unique(np.concatenate([keys, r * cols + c]))
+    if len(keys) > nnz:
+        keys = rng.choice(keys, size=nnz, replace=False)
+    r, c = keys // cols, keys % cols
     v = rng.standard_normal(len(r)).astype(np.float32)
     v[v == 0] = 1.0
     return COOMatrix((rows, cols), r, c, v)

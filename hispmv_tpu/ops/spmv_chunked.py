@@ -1,0 +1,213 @@
+"""Chunked block-ELL SpMV — the production Pallas TPU kernel.
+
+Second-generation kernel (see ops/spmv_block.py for the simple per-block
+variant).  Design driven by hardware measurement: a grid step per 4 KiB
+block costs ~170 ns of fixed overhead (~16x the DMA time of the block), so
+the stream must be consumed in BIG contiguous chunks:
+
+- grid = A-chunks of ``chunk`` blocks (one ~512 KiB contiguous DMA per
+  step, double-buffered automatically by the Pallas pipeline — the MM2S_A
+  free-running read analog, base_functions.cpp:3-31);
+- x lives entirely in VMEM for the whole kernel (the B_WINDOW BRAM analog,
+  assets/spmv.h:30-32) — each block's x slice is a cheap sublane-dynamic
+  slice, never a gather;
+- y lives entirely in VMEM and is written back once at the end (AccumBuffer
+  URAM analog, base_functions.cpp:439-504);
+- per-block metadata (local row-block, col-block, first/last flags) rides
+  in an int32 sideband array DMA'd to SMEM alongside each chunk (the
+  encoded-stream flag bits analog, spmv-helper.h:33-60);
+- the inner ``fori_loop`` does: dynamic-slice x row, FMA into a
+  (block_h, 128) accumulator, and on row-block end one lane-reduction and
+  one dynamic-sublane y write.  All VPU, no MXU, fp32 exact.
+
+VMEM budget: x (padded_cols*4 B) + y (padded_rows*4 B) + 2 chunk buffers.
+Matrices whose x+y exceed the budget must be column/row-tiled by the
+planner (not yet implemented; the handle falls back to the per-block
+kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hispmv_tpu.plan.blocks import LANES, BlockPlan
+
+DEFAULT_CHUNK = 128  # blocks per grid step
+
+
+def pack_chunks(plan: BlockPlan, chunk: int = DEFAULT_CHUNK):
+    """Pad the plan's block stream to a whole number of chunks and build the
+    int32 metadata sideband.
+
+    Returns (data3d, meta, nchunks):
+      data3d f32 [nchunks, chunk*block_h, LANES]
+      meta   i32 [nchunks, 2, chunk] with meta[:,0] = row_block*2 + last and
+      meta[:,1] = col_block (two scalar reads per block in the kernel).
+    Padding blocks: zero payload, last=0, row = last real row (they
+    accumulate zeros into a dead accumulator and never flush)."""
+    nb = plan.num_blocks
+    nchunks = max(-(-nb // chunk), 1)
+    nb_pad = nchunks * chunk
+    bh = plan.block_h
+
+    data = np.zeros((nb_pad, bh, LANES), np.float32)
+    data[:nb] = plan.data
+    meta = np.zeros((2, nb_pad), np.int32)
+    meta[0, :nb] = plan.block_rows * 2 + plan.block_lasts
+    meta[1, :nb] = plan.block_cols
+    if nb_pad > nb:
+        meta[0, nb:] = (plan.block_rows[-1] if nb else 0) * 2
+
+    data3d = data.reshape(nchunks, chunk * bh, LANES)
+    meta = np.ascontiguousarray(
+        meta.reshape(2, nchunks, chunk).transpose(1, 0, 2)
+    )
+    return data3d, meta, nchunks
+
+
+def _chunked_kernel(
+    a_ref,  # f32 [1, chunk*bh, LANES] current A chunk (VMEM)
+    meta_ref,  # i32 [1, 2, chunk] metadata sideband (SMEM)
+    x_ref,  # f32 [ncb, LANES] full x (VMEM, resident)
+    y_ref,  # f32 [nrb, bh] full y (VMEM, resident; written back at end)
+    acc_ref,  # f32 [bh, LANES] scratch accumulator (persists across grid)
+    *,
+    chunk: int,
+    bh: int,
+    unroll: int = 8,
+):
+    # The accumulator starts zeroed and every flush re-zeroes it, so no
+    # per-block "first" branch is needed (planner guarantees each row-block
+    # ends with exactly one last-flagged block).
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def do_block(j):
+        rb2 = meta_ref[0, 0, j]  # row_block * 2 + last
+        cb = meta_ref[0, 1, j]
+
+        xs = x_ref[pl.ds(cb, 1), :]  # (1, LANES)
+        ab = a_ref[0, pl.ds(j * bh, bh), :]  # (bh, LANES)
+        acc_ref[...] += ab * xs
+
+        @pl.when(rb2 & 1 == 1)
+        def _flush():
+            y_ref[pl.ds(rb2 >> 1, 1), :] = jnp.sum(
+                acc_ref[...], axis=1
+            )[None, :]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # Mosaic supports only full or no loop unrolling; partial unroll is a
+    # static inner Python loop inside a rolled outer loop.
+    assert chunk % unroll == 0, (chunk, unroll)
+
+    def body(jo, _):
+        for k in range(unroll):
+            do_block(jo * unroll + k)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def spmv_chunked_pallas(
+    data3d: jax.Array,  # f32 [nchunks, chunk*bh, LANES]
+    meta: jax.Array,  # i32 [nchunks, 2, chunk]
+    x_blocks: jax.Array,  # f32 [ncb, LANES]
+    num_row_blocks: int,
+    block_h: int,
+    chunk: int = DEFAULT_CHUNK,
+    *,
+    unroll: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run the chunked stream; returns y tiles f32 [num_row_blocks, block_h]."""
+    nchunks = data3d.shape[0]
+    assert data3d.shape[1] == chunk * block_h
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk * block_h, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, chunk),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+        ],
+        out_specs=pl.BlockSpec(
+            (num_row_blocks, block_h),
+            lambda i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_h, LANES), jnp.float32)],
+    )
+
+    kernel = functools.partial(
+        _chunked_kernel, chunk=chunk, bh=block_h, unroll=unroll
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_row_blocks, block_h), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * data3d.size,
+            bytes_accessed=data3d.size * 4 + x_blocks.size * 4,
+            transcendentals=0,
+        ),
+    )(data3d, meta, x_blocks)
+
+
+def spmv_chunked(
+    plan: BlockPlan,
+    x,
+    y_in=None,
+    alpha=1.0,
+    beta=0.0,
+    chunk: int = DEFAULT_CHUNK,
+    *,
+    interpret: bool = False,
+):
+    """Host-convenience wrapper (re-uploads per call; tests/one-shot use)."""
+    data3d, meta, _ = pack_chunks(plan, chunk)
+    ncb = plan.num_col_blocks
+    x = jnp.asarray(x, jnp.float32)
+    pad = ncb * LANES - x.shape[0]
+    if pad > 0:
+        x = jnp.pad(x, (0, pad))
+    if plan.col_perm is not None:
+        perm = np.concatenate(
+            [
+                plan.col_perm,
+                np.arange(plan.shape[1], ncb * LANES, dtype=np.int32),
+            ]
+        )
+        x = jnp.take(x, jnp.asarray(perm), axis=0)
+    y = spmv_chunked_pallas(
+        jnp.asarray(data3d),
+        jnp.asarray(meta),
+        x.reshape(ncb, LANES),
+        plan.num_row_blocks,
+        plan.block_h,
+        chunk,
+        interpret=interpret,
+    )
+    y = alpha * y.reshape(-1)[: plan.shape[0]]
+    if y_in is not None:
+        y = y + beta * jnp.asarray(y_in, jnp.float32)
+    return y

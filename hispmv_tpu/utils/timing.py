@@ -80,7 +80,18 @@ def measure_loop_time(
         return best
 
     t_lo, t_hi = timed(n_lo), timed(n_hi)
-    return max((t_hi - t_lo) / (n_hi - n_lo), 1e-12)
+    slope = (t_hi - t_lo) / (n_hi - n_lo)
+    # Adaptive refinement: the slope must rise above RPC jitter (~ms).  If
+    # the measured span is too small, grow n_hi until the loop dominates.
+    span_target = 0.25  # seconds of pure loop time at n_hi
+    if (t_hi - t_lo) < 0.05:
+        est = max(slope, 1e-7)
+        n_big = int(min(max(span_target / est, n_hi * 4), 200_000))
+        _, chk = run(carry0, 0.0, jnp.int32(n_big))
+        float(chk)
+        t_big = timed(n_big)
+        slope = (t_big - t_lo) / (n_big - n_lo)
+    return max(slope, 1e-12)
 
 
 def spmv_step_wrapper(kernel: Callable, x0: jax.Array):

@@ -64,8 +64,10 @@ def test_auto_dispatch_stream_for_scattered():
     )
 
 
-def test_auto_dispatch_block_for_banded():
-    coo = banded_coo(2000, 2000, 60_000, seed=4, bandwidth=60)
+def test_auto_dispatch_block_for_clustered():
+    from hispmv_tpu.formats.synth import blocked_coo
+
+    coo = blocked_coo(2000, 2000, 300_000, seed=4)
     h = SpmvHandle(coo, format="auto")
     assert h.format == "block"
 
