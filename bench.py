@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Benchmark driver: suite SpMV throughput vs the reference baseline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Method
+------
+- Matrices: synthetic stand-ins for the reference's SuiteSparse fixtures
+  (same shape/nnz/structure family; the real files need network access —
+  see hispmv_tpu/formats/synth.py).  Large power-law matrices are scaled to
+  fit the current single-chip VMEM-resident x+y path (noted per matrix on
+  stderr).
+- Per matrix: the autotuner picks the format/config (hispmv_tpu.tune), the
+  plan is built and the kernel timed with the loop-slope method
+  (hispmv_tpu.utils.measure_loop_time) — the only honest timing through a
+  relayed backend; per-call wall clock is NOT used.
+- Metric: GFLOP/s = 2*(nnz+rows)/t, the reference's definition
+  (spmv-host.cpp:185).  vs_baseline = geometric mean over matrices of
+  (ours / reference U280 GFLOP/s from builds/U280_metrics.csv).
+"""
+
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+# Reference U280 GFLOP/s per matrix (BASELINE.md section 1).
+U280_GFLOPS = {
+    "TSOPF_RS_b2383": 74.94,
+    "mouse_gene": 74.60,
+    "nd6k": 69.91,
+    "crankseg_2": 68.05,
+    "thread": 63.73,
+    "crystk03": 62.79,
+    "Si41Ge41H72": 59.73,
+    "PFlow_742": 51.52,
+    "lowThrust_7": 37.33,
+    "soc-Pokec": 36.43,
+    "hangGlider_3": 35.99,
+    "c-52": 34.07,
+    "nxp1": 30.65,
+    "trans5": 30.46,
+    "analytics": 30.33,
+    "ford2": 29.28,
+    "ASIC_680k": 25.21,
+    "boyd2": 23.71,
+    "language": 22.26,
+    "poli_large": 18.63,
+}
+
+# Default benchmark set: one per structural family, full scale where the
+# VMEM-resident path allows, scaled otherwise (scale noted in output).
+DEFAULT_SET = [
+    ("TSOPF_RS_b2383", 1.0),
+    ("nd6k", 1.0),
+    ("crystk03", 1.0),
+    ("soc-Pokec", 0.3),
+    ("language", 1.0),
+]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_matrix(name: str, scale: float) -> dict:
+    import jax.numpy as jnp
+
+    from hispmv_tpu.formats.synth import suite_matrix
+    from hispmv_tpu.api.handle import SpmvHandle
+    from hispmv_tpu.tune import tune
+    from hispmv_tpu.utils import measure_loop_time
+    from hispmv_tpu.utils.timing import spmv_step_wrapper
+
+    t0 = time.time()
+    coo = suite_matrix(name, scale=scale)
+    res = tune(coo, cache_path="/tmp/hispmv_best_configs.json")
+    handle = SpmvHandle(coo, config=res.config, format=res.format)
+    log(
+        f"[{name}] scale={scale} nnz={coo.nnz} format={handle.format} "
+        f"fill={handle.stats.fill:.3f} prep={time.time()-t0:.1f}s"
+    )
+
+    # golden check before timing
+    stats = handle.verify()
+    if not stats.ok:
+        log(f"[{name}] VERIFY FAILED max rel {stats.max_rel_error:.2e}")
+
+    x0 = jnp.asarray(
+        np.random.default_rng(0)
+        .standard_normal(coo.num_cols)
+        .astype(np.float32)
+    )
+
+    def kern(x):
+        return handle.run(x)
+
+    # handle.run pads internally; build the step on the raw x
+    step, c0 = spmv_step_wrapper(kern, x0)
+    t = measure_loop_time(step, c0)
+    gflops = 2 * (coo.nnz + coo.num_rows) / t / 1e9
+    log(
+        f"[{name}] t={t*1e6:.0f}us {gflops:.1f} GFLOP/s "
+        f"(reference U280: {U280_GFLOPS[name]})"
+    )
+    return {
+        "name": name,
+        "scale": scale,
+        "nnz": coo.nnz,
+        "format": handle.format,
+        "seconds": t,
+        "gflops": gflops,
+        "verify_ok": bool(stats.ok),
+        "ref_gflops": U280_GFLOPS[name],
+    }
+
+
+def main():
+    names = sys.argv[1:]
+    cases = (
+        [(n, 1.0) for n in names] if names else DEFAULT_SET
+    )
+    results = []
+    for name, scale in cases:
+        try:
+            results.append(bench_matrix(name, scale))
+        except Exception as e:  # keep the bench alive per matrix
+            log(f"[{name}] ERROR: {type(e).__name__}: {e}")
+    if not results:
+        print(json.dumps({"metric": "spmv_gflops_geomean", "value": 0.0,
+                          "unit": "GFLOP/s", "vs_baseline": 0.0}))
+        return
+    geo = math.exp(
+        sum(math.log(max(r["gflops"], 1e-9)) for r in results) / len(results)
+    )
+    vs = math.exp(
+        sum(
+            math.log(max(r["gflops"] / r["ref_gflops"], 1e-9))
+            for r in results
+        )
+        / len(results)
+    )
+    ok = all(r["verify_ok"] for r in results)
+    log(f"geomean={geo:.1f} GFLOP/s vs_baseline={vs:.2f}x verified={ok}")
+    print(
+        json.dumps(
+            {
+                "metric": "spmv_gflops_geomean_suite",
+                "value": round(geo, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

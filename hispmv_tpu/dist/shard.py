@@ -74,10 +74,17 @@ def _split_boundaries(counts: np.ndarray, parts: int) -> np.ndarray:
     targets = total * np.arange(1, parts) / parts
     cuts = np.searchsorted(cum, targets, side="left")
     cuts = np.clip(cuts, 1, len(counts))
-    # ensure strictly increasing so every device gets >= 0 items
-    for i in range(1, len(cuts)):
-        if cuts[i] <= cuts[i - 1]:
-            cuts[i] = min(cuts[i - 1] + 1, len(counts))
+    if len(counts) >= parts:
+        # enough items: make every chunk non-empty (strictly increasing
+        # cuts with room left for the chunks after each cut)
+        for i in range(len(cuts) - 1, -1, -1):
+            cuts[i] = min(cuts[i], len(counts) - (len(cuts) - i))
+        for i in range(len(cuts)):
+            lo = cuts[i - 1] + 1 if i else 1
+            cuts[i] = max(cuts[i], lo)
+    else:
+        # fewer items than devices: leading chunks get one item each
+        cuts = np.minimum(np.arange(1, parts), len(counts))
     return np.concatenate([[0], cuts, [len(counts)]]).astype(np.int64)
 
 
@@ -161,7 +168,7 @@ def spmv_sharded(
     ``x_mode="gather"`` shards x over the mesh and all-gathers it over ICI
     inside the shard_map body — the multi-chip LoadB analog.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
     D = splan.num_devices
@@ -210,7 +217,7 @@ def spmv_sharded(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), x_spec),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )(*args, x)
 
     # reassemble: device d contributes its first nrb_per_dev[d]*bh entries

@@ -9,12 +9,18 @@ HISPMV_TEST_PLATFORM=tpu to run the suite on real hardware instead.
 import os
 
 if os.environ.get("HISPMV_TEST_PLATFORM", "cpu") == "cpu":
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The axon TPU-relay plugin (sitecustomize) force-overrides the
+    # jax_platforms config at import time; override it back.  Safe even if
+    # the plugin is absent.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: this environment has a single CPU core, so
 # XLA compiles dominate test time; cache them across runs.

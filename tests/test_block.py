@@ -77,7 +77,9 @@ def test_block_pallas_axpby():
 
 
 def test_degree_column_perm_improves_fill():
-    coo = powerlaw_coo(2000, 2000, 40_000, seed=4)
+    # strong hubs (rank exponent 1.5) — the soc-Pokec-like regime where
+    # degree reordering pays off
+    coo = powerlaw_coo(2000, 2000, 40_000, seed=4, alpha=1.5)
     base = build_block_plan(coo, block_h=8)
     perm = degree_column_perm(coo)
     permuted = build_block_plan(coo, block_h=8, col_perm=perm)
