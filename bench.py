@@ -57,7 +57,7 @@ DEFAULT_SET = [
     ("TSOPF_RS_b2383", 1.0),
     ("nd6k", 1.0),
     ("crystk03", 1.0),
-    ("soc-Pokec", 0.3),
+    ("soc-Pokec", 0.15),
     ("language", 1.0),
 ]
 

@@ -42,7 +42,7 @@ from hispmv_tpu.ops.spmv_block import (
     spmv_block_pallas,
 )
 from hispmv_tpu.ops.spmv_chunked import (
-    DEFAULT_CHUNK,
+    chunk_for,
     pack_chunks,
     spmv_chunked_pallas,
 )
@@ -136,7 +136,8 @@ class SpmvHandle:
 
     def _block_fits_chunked(self, plan) -> bool:
         xy = (plan.num_col_blocks * LANES + plan.num_row_blocks * plan.block_h) * 4
-        chunk_bytes = 2 * DEFAULT_CHUNK * plan.block_h * LANES * 4
+        chunk = chunk_for(plan.block_h)
+        chunk_bytes = 2 * chunk * plan.block_h * LANES * 4
         return xy + chunk_bytes <= self._CHUNKED_VMEM_BUDGET
 
     def _prepare_block(self, coo: COOMatrix):
@@ -150,7 +151,8 @@ class SpmvHandle:
         self._block_plan_meta = plan
         self._chunked = self._block_fits_chunked(plan)
         if self._chunked:
-            data3d, meta, _ = pack_chunks(plan, DEFAULT_CHUNK)
+            self._chunk = chunk_for(plan.block_h)
+            data3d, meta, _ = pack_chunks(plan, self._chunk)
             self._d = {
                 "data": jnp.asarray(data3d),
                 "meta": jnp.asarray(meta),
@@ -235,7 +237,7 @@ class SpmvHandle:
                 if chunked:
                     y = spmv_chunked_pallas(
                         d["data"], d["meta"], x.reshape(-1, LANES),
-                        nrb, bh, DEFAULT_CHUNK, interpret=interp,
+                        nrb, bh, self._chunk, interpret=interp,
                     )
                 else:
                     y = spmv_block_pallas(

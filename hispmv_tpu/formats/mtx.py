@@ -67,23 +67,42 @@ def load_mtx(path_or_file: Union[str, io.IOBase]) -> COOMatrix:
 
     body = f.read()
     ncols_file = 2 if field == "pattern" else 3
-    data = np.array(body.split(), dtype=np.float64)
-    if nnz == 0:
-        data = data.reshape(0, ncols_file)
-    else:
-        if data.size % nnz != 0:
-            raise ValueError("Malformed MatrixMarket body")
-        per_entry = data.size // nnz
-        if per_entry < ncols_file:
-            raise ValueError("Malformed MatrixMarket body")
-        data = data.reshape(nnz, per_entry)[:, :ncols_file]
 
-    r = data[:, 0].astype(np.int64) - 1
-    c = data[:, 1].astype(np.int64) - 1
-    if field == "pattern":
-        v = np.ones(len(r), dtype=np.float32)
+    # Native fast path (C++ strtol/strtod loop) when each line has exactly
+    # the expected token count; falls back to vectorized numpy otherwise.
+    parsed = None
+    if nnz > 0:
+        first_line = body.lstrip().split("\n", 1)[0]
+        if len(first_line.split()) == ncols_file:
+            from hispmv_tpu import native
+
+            parsed = native.parse_mtx_body(
+                body.encode(), nnz, field != "pattern"
+            )
+    if parsed is not None:
+        r = parsed[0].astype(np.int64)
+        c = parsed[1].astype(np.int64)
+        v = parsed[2]
+        if field == "pattern":
+            v = np.ones(len(r), dtype=np.float32)
     else:
-        v = data[:, 2].astype(np.float32)
+        data = np.array(body.split(), dtype=np.float64)
+        if nnz == 0:
+            data = data.reshape(0, ncols_file)
+        else:
+            if data.size % nnz != 0:
+                raise ValueError("Malformed MatrixMarket body")
+            per_entry = data.size // nnz
+            if per_entry < ncols_file:
+                raise ValueError("Malformed MatrixMarket body")
+            data = data.reshape(nnz, per_entry)[:, :ncols_file]
+
+        r = data[:, 0].astype(np.int64) - 1
+        c = data[:, 1].astype(np.int64) - 1
+        if field == "pattern":
+            v = np.ones(len(r), dtype=np.float32)
+        else:
+            v = data[:, 2].astype(np.float32)
 
     # Drop explicit zeros (spmv-helper.cpp:105-107).
     keep = v != 0.0

@@ -1,0 +1,142 @@
+"""Native (C++) preprocessing acceleration, loaded via ctypes.
+
+The shared library is compiled on first use with the system g++ (cached
+next to this file); every entry point has a pure-numpy fallback, so the
+package works without a toolchain.  Analog of the reference's C++ host
+library role (common/src/spmv-helper.cpp hot loops).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hispmv_native.cpp")
+_SO = os.path.join(_HERE, f"_hispmv_native_{sys.implementation.cache_tag}.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    cxx = os.environ.get("CXX", "g++")
+    cmd = [
+        cxx, "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _SO,
+    ]
+    try:
+        subprocess.run(
+            cmd, check=True, capture_output=True, timeout=120
+        )
+        return _SO
+    except Exception:
+        return None
+
+
+def get_lib():
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("HISPMV_NO_NATIVE"):
+            return None
+        path = _SO if os.path.exists(_SO) else _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        lib.parse_mtx_body.restype = ctypes.c_longlong
+        lib.parse_mtx_body.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.pack_blocks_count.restype = ctypes.c_void_p
+        lib.pack_blocks_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.pack_blocks_fill.restype = None
+        lib.pack_blocks_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.pack_blocks_free.restype = None
+        lib.pack_blocks_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def parse_mtx_body(
+    body: bytes, expect: int, has_value: bool
+):
+    """Parse a MatrixMarket coordinate body; returns (rows, cols, vals) or
+    None if the native library is unavailable or the body is malformed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.empty(expect, np.int32)
+    cols = np.empty(expect, np.int32)
+    vals = np.empty(expect, np.float32)
+    n = lib.parse_mtx_body(
+        body, len(body), expect, int(has_value),
+        _ptr(rows), _ptr(cols), _ptr(vals),
+    )
+    if n != expect:
+        return None
+    return rows, cols, vals
+
+
+def pack_blocks(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    block_h: int,
+    ncb: int,
+):
+    """Native block packing; returns (block_rows, block_cols, data) sorted by
+    (row_block, col_block), or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    vals = np.ascontiguousarray(vals, np.float32)
+    nnz = len(rows)
+    nb = ctypes.c_longlong(0)
+    ctx = lib.pack_blocks_count(
+        _ptr(rows), _ptr(cols), nnz, block_h, ncb, ctypes.byref(nb)
+    )
+    try:
+        nblocks = int(nb.value)
+        block_rows = np.empty(nblocks, np.int32)
+        block_cols = np.empty(nblocks, np.int32)
+        data = np.zeros((nblocks, block_h, 128), np.float32)
+        lib.pack_blocks_fill(
+            ctx, _ptr(rows), _ptr(cols), _ptr(vals), nnz, block_h, ncb,
+            _ptr(block_rows), _ptr(block_cols), _ptr(data),
+        )
+    finally:
+        lib.pack_blocks_free(ctx)
+    return block_rows, block_cols, data

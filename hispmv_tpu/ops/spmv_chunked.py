@@ -38,7 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hispmv_tpu.plan.blocks import LANES, BlockPlan
 
-DEFAULT_CHUNK = 128  # blocks per grid step
+DEFAULT_CHUNK = 128  # blocks per grid step (for block_h=16)
+
+
+def chunk_for(block_h: int, target_bytes: int = 1 << 20) -> int:
+    """Blocks per grid step targeting ~1 MiB chunk payloads (x2 buffers);
+    multiple of 8 so partial unroll divides evenly."""
+    c = max(target_bytes // (block_h * LANES * 4), 16)
+    return int(min(512, (c // 8) * 8))
 
 
 def pack_chunks(plan: BlockPlan, chunk: int = DEFAULT_CHUNK):

@@ -117,6 +117,15 @@ def build_block_plan(
         inv[col_perm] = np.arange(C)
         cols = inv[cols]
 
+    from hispmv_tpu import native
+
+    packed = native.pack_blocks(rows, cols, coo.values, block_h, ncb)
+    if packed is not None:
+        block_rows, block_cols, data = packed
+        return _assemble_plan(
+            coo, block_h, col_perm, block_rows, block_cols, data, nrb, ncb
+        )
+
     rb = rows // block_h
     cb = cols // LANES
     key = rb * ncb + cb
@@ -125,36 +134,39 @@ def build_block_plan(
     block_rows = (uniq // ncb).astype(np.int32)
     block_cols = (uniq % ncb).astype(np.int32)
 
-    # Insert zero blocks so every row-block is visited (its y tile must be
-    # written); analog of the reference's zero-padding stream entries
-    # (spmv-helper.cpp:622-637).
-    missing = np.setdiff1d(
-        np.arange(nrb, dtype=np.int32), block_rows, assume_unique=False
-    )
-    if len(missing):
-        block_rows = np.concatenate([block_rows, missing])
-        block_cols = np.concatenate(
-            [block_cols, np.zeros(len(missing), np.int32)]
-        )
-        order = np.argsort(block_rows * np.int64(ncb) + block_cols, kind="stable")
-        # Remap nonzero block indices through the re-sort.
-        remap = np.empty(len(order), np.int64)
-        remap[order] = np.arange(len(order))
-        inv_idx = remap[inv_idx]
-        block_rows = block_rows[order]
-        block_cols = block_cols[order]
-
     nblocks = len(block_rows)
     data = np.zeros((nblocks, block_h, LANES), np.float32)
     np.add.at(data, (inv_idx, rows % block_h, cols % LANES), coo.values)
 
+    return _assemble_plan(
+        coo, block_h, col_perm, block_rows, block_cols, data, nrb, ncb
+    )
+
+
+def _assemble_plan(
+    coo, block_h, col_perm, block_rows, block_cols, data, nrb, ncb
+) -> BlockPlan:
+    """Shared plan assembly: insert zero blocks for unvisited row-blocks
+    (their y tiles must be written; analog of the reference's zero-padding
+    stream entries, spmv-helper.cpp:622-637), then derive first/last flags."""
+    missing = np.setdiff1d(
+        np.arange(nrb, dtype=np.int32), block_rows, assume_unique=False
+    )
+    if len(missing):
+        sort_key = block_rows.astype(np.int64) * ncb + block_cols
+        pos = np.searchsorted(sort_key, missing.astype(np.int64) * ncb)
+        block_rows = np.insert(block_rows, pos, missing)
+        block_cols = np.insert(block_cols, pos, 0)
+        data = np.insert(data, pos, 0.0, axis=0)
+
+    nblocks = len(block_rows)
     firsts = np.ones(nblocks, np.int32)
     firsts[1:] = (block_rows[1:] != block_rows[:-1]).astype(np.int32)
     lasts = np.ones(nblocks, np.int32)
     lasts[:-1] = firsts[1:]
 
     return BlockPlan(
-        shape=(R, C),
+        shape=coo.shape,
         nnz=coo.nnz,
         block_h=block_h,
         data=data,

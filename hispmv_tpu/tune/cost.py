@@ -19,13 +19,26 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class DeviceProfile:
-    """Calibrated per-chip constants (fpgas.py device catalog analog)."""
+    """Calibrated per-chip constants (fpgas.py device catalog analog).
+
+    All defaults are MEASURED on the TPU v5e via the loop-slope method
+    (2026-08, see tests/test_tune.py and the bench logs):
+
+    - ``hbm_gbps`` 794 from a 512 MiB reduction (spec 819).
+    - ``block_step_overhead_s`` 28 ns: the chunked kernel's per-block cost
+      is ~constant in block_h (scalar reads + dynamic slices + predicate
+      dominate; the FMA vregs are hidden underneath) — measured 26.6/26.8/
+      28.7 ns at block_h 8/16/32 on nd6k-class streams.
+    - ``stream_efficiency`` 0.002: XLA's per-element gather on this chip is
+      catastrophic (~0.07-0.13 Gnnz/s end to end), so the gather-stream
+      format essentially never wins; it is kept for CPU/debug paths.
+    """
 
     name: str = "tpu-v5e"
-    hbm_gbps: float = 750.0  # measured via loop-slope sum (spec 819)
-    # Effective fraction of peak HBM the format's access pattern sustains.
-    stream_efficiency: float = 0.55  # gather + segment-sum path
-    block_efficiency: float = 0.85  # contiguous block streaming
+    hbm_gbps: float = 794.0
+    stream_efficiency: float = 0.002
+    block_dma_efficiency: float = 0.88  # contiguous chunk streaming
+    block_step_overhead_s: float = 2.8e-8
     dense_efficiency: float = 0.90  # plain matmul row streaming
     launch_overhead_s: float = 3e-6  # on-device dispatch per kernel
     vmem_bytes: int = 64 * 2**20  # usable VMEM ceiling (conservative)
@@ -58,14 +71,16 @@ class CostModel:
     def block_seconds(
         self, num_blocks: int, block_h: int, rows: int, cols: int
     ) -> float:
-        """Block-ELL path: each block moves its dense payload plus one x
-        col-block fetch; y tiles are written once."""
+        """Chunked block-ELL path: max(DMA stream time, per-block fixed
+        overhead) — the kernel is compute(overhead)-bound below block_h~44
+        and DMA-bound above (measured, see DeviceProfile)."""
         a_bytes = num_blocks * block_h * 128 * 4
-        x_bytes = num_blocks * 128 * 4  # col-block per block (VMEM reuse not
-        # modeled: conservative)
-        y_bytes = rows * 4
-        eff = self.p.hbm_gbps * 1e9 * self.p.block_efficiency
-        return (a_bytes + x_bytes + y_bytes) / eff + self.p.launch_overhead_s
+        xy_bytes = cols * 4 + rows * 4
+        t_dma = (a_bytes + xy_bytes) / (
+            self.p.hbm_gbps * 1e9 * self.p.block_dma_efficiency
+        )
+        t_step = num_blocks * self.p.block_step_overhead_s
+        return max(t_dma, t_step) + self.p.launch_overhead_s
 
     def dense_seconds(self, rows: int, cols: int) -> float:
         rp, cp = -(-rows // 8) * 8, -(-cols // 128) * 128

@@ -152,7 +152,7 @@ class DSE:
                 cols = perm_cols
             else:
                 cols = coo.cols
-            for bh in (8, 16, 32):
+            for bh in (8, 16, 32, 64):
                 nb = count_blocks(coo.rows, cols, bh, C)
                 # Account for zero-block insertion on empty row-blocks.
                 nb = max(nb, -(-R // bh))
@@ -198,7 +198,14 @@ def tune(
     """DSE with a persistent JSON cache keyed by matrix fingerprint."""
     key = None
     if cache_path:
-        key = f"{matrix_fingerprint(coo)}:{profile.name}"
+        # Key on the profile *values*, not just its name, so recalibrated
+        # constants invalidate stale entries.
+        import hashlib as _h
+
+        pfp = _h.sha256(
+            repr(dataclasses.astuple(profile)).encode()
+        ).hexdigest()[:8]
+        key = f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}"
         if os.path.exists(cache_path):
             with open(cache_path) as f:
                 cache = json.load(f)

@@ -79,19 +79,15 @@ def measure_loop_time(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(n_lo), timed(n_hi)
-    slope = (t_hi - t_lo) / (n_hi - n_lo)
-    # Adaptive refinement: the slope must rise above RPC jitter (~ms).  If
-    # the measured span is too small, grow n_hi until the loop dominates.
-    span_target = 0.25  # seconds of pure loop time at n_hi
-    if (t_hi - t_lo) < 0.05:
-        est = max(slope, 1e-7)
-        n_big = int(min(max(span_target / est, n_hi * 4), 200_000))
-        _, chk = run(carry0, 0.0, jnp.int32(n_big))
-        float(chk)
-        t_big = timed(n_big)
-        slope = (t_big - t_lo) / (n_big - n_lo)
-    return max(slope, 1e-12)
+    t_lo = timed(n_lo)
+    # Grow the loop length geometrically until the measured span rises well
+    # above RPC jitter (~ms), then take the slope.  The loop count is a
+    # traced argument, so each size reuses the same executable.
+    n, t_n = n_hi, timed(n_hi)
+    while (t_n - t_lo) < 0.08 and n < 60_000:
+        n = min(n * 8, 60_000)
+        t_n = timed(n)
+    return max((t_n - t_lo) / (n - n_lo), 1e-12)
 
 
 def spmv_step_wrapper(kernel: Callable, x0: jax.Array):

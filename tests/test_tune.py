@@ -62,10 +62,16 @@ def test_dse_picks_block_for_block_structured():
     assert res.format == "block", res.candidates
 
 
-def test_dse_picks_stream_for_hypersparse():
+def test_dse_avoids_gather_stream_on_tpu():
+    # Measured on v5e: XLA's per-element gather runs ~0.1 Gnnz/s, so even a
+    # ~1%-fill block plan (400 B/nnz at ~700 GB/s ~ 1.7 Gnnz/s) beats the
+    # gather stream.  The DSE must therefore never pick "stream" on this
+    # profile, even for hypersparse matrices.
     coo = random_coo(50_000, 1_000_000, 100_000, seed=5)
     res = DSE().explore(coo)
-    assert res.format == "stream", res.candidates
+    assert res.format == "block", res.candidates
+    costs = dict(res.candidates)
+    assert costs["stream"] > res.est_seconds
 
 
 def test_dse_candidates_ranked():
