@@ -46,6 +46,11 @@ from hispmv_tpu.ops.spmv_chunked import (
     pack_chunks,
     spmv_chunked_pallas,
 )
+from hispmv_tpu.ops.spmv_windowed import (
+    chunk_for_windowed,
+    pack_window_chunks,
+    spmv_windowed_pallas,
+)
 from hispmv_tpu.ops.spmv_ref import spmv_xla
 from hispmv_tpu.plan.blocks import (
     LANES,
@@ -96,6 +101,8 @@ class SpmvHandle:
                 self._from_dense_array(matrix.to_dense())
             elif fmt == "block":
                 self._prepare_block(matrix)
+            elif fmt == "window":
+                self._prepare_window(matrix)
             elif fmt == "stream":
                 self._prepare_stream(matrix)
             else:
@@ -178,6 +185,21 @@ class SpmvHandle:
         self._fill = plan.fill
         self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
 
+    def _prepare_window(self, coo: COOMatrix):
+        from hispmv_tpu.plan.windows import build_window_plan
+
+        plan = build_window_plan(coo, block_h=self.config.block_h)
+        self._window_plan_meta = plan
+        self._wchunk = chunk_for_windowed(plan.block_h)
+        data3d, subidx3d, meta, _ = pack_window_chunks(plan, self._wchunk)
+        self._d = {
+            "data": jnp.asarray(data3d),
+            "subidx": jnp.asarray(subidx3d),
+            "meta": jnp.asarray(meta),
+        }
+        self._fill = plan.fill
+        self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
+
     def _prepare_stream(self, coo: COOMatrix):
         plan = build_plan(coo, self.config)
         self._stream_plan_meta = plan
@@ -198,6 +220,10 @@ class SpmvHandle:
             return int(self._dense.shape[1])
         if self.format == "block":
             return self._block_plan_meta.num_col_blocks * LANES
+        if self.format == "window":
+            from hispmv_tpu.plan.windows import SEGS
+
+            return self._window_plan_meta.num_windows * SEGS * LANES
         return self.shape[1]
 
     def _pad_x(self, x: jax.Array) -> jax.Array:
@@ -245,6 +271,22 @@ class SpmvHandle:
                         d["lasts"], x.reshape(-1, 1, LANES), nrb,
                         interpret=interp,
                     )
+                y = alpha * y.reshape(-1)[:R]
+                return y if y_in is None else y + beta * y_in
+
+        elif fmt == "window":
+            d = self._d
+            plan = self._window_plan_meta
+            nrb = plan.num_row_blocks
+            bh = plan.block_h
+            wchunk = self._wchunk
+
+            def run(x, y_in, alpha, beta):
+                y = spmv_windowed_pallas(
+                    d["data"], d["subidx"], d["meta"],
+                    x.reshape(-1, LANES), nrb, bh, wchunk,
+                    interpret=interp,
+                )
                 y = alpha * y.reshape(-1)[:R]
                 return y if y_in is None else y + beta * y_in
 
@@ -318,6 +360,29 @@ class SpmvHandle:
                 y = y.reshape(-1, xb.shape[0])[:R].T  # [B, R]
                 return y if bias is None else y + bias[None, :]
 
+        elif fmt == "window":
+            d = self._d
+            plan = self._window_plan_meta
+            nrb = plan.num_row_blocks
+            bh = plan.block_h
+            wchunk = self._wchunk
+            interp2 = interp
+
+            def run(xb, bias):
+                # batched via per-vector kernel calls (static unroll); the
+                # A stream re-streams per vector — a dedicated batched
+                # windowed kernel is future work.
+                ys = [
+                    spmv_windowed_pallas(
+                        d["data"], d["subidx"], d["meta"],
+                        xb[b].reshape(-1, LANES), nrb, bh, wchunk,
+                        interpret=interp2,
+                    ).reshape(-1)[:R]
+                    for b in range(xb.shape[0])
+                ]
+                y = jnp.stack(ys)
+                return y if bias is None else y + bias[None, :]
+
         else:  # stream: vmap the single-vector path over the batch
 
             def run(xb, bias):
@@ -389,7 +454,10 @@ def choose_format(coo: COOMatrix, config: SpmvConfig) -> str:
     uniq = len(np.unique(rb.astype(np.int64) * ncb + cb))
     est_blocks = uniq * (n / take)
     est_fill = n / (est_blocks * config.block_h * LANES)
-    return "block" if est_fill >= config.min_block_fill else "stream"
+    # Low plain-block fill -> the windowed format (merges scattered blocks
+    # via per-lane sub-index gathering).  The gather stream is never picked
+    # automatically on TPU (measured ~0.1 Gnnz/s, see tune/cost.py).
+    return "block" if est_fill >= config.min_block_fill else "window"
 
 
 def prepare(

@@ -82,6 +82,22 @@ class CostModel:
         t_step = num_blocks * self.p.block_step_overhead_s
         return max(t_dma, t_step) + self.p.launch_overhead_s
 
+    def window_seconds(
+        self, num_blocks: int, block_h: int, rows: int, cols: int
+    ) -> float:
+        """Windowed block-ELL: payload + int32 sub-index sideband; per-block
+        overhead slightly above the plain path (one extra gather)."""
+        a_bytes = num_blocks * (block_h * 128 + 128) * 4
+        xy_bytes = cols * 4 + rows * 4
+        t_dma = (a_bytes + xy_bytes) / (
+            self.p.hbm_gbps * 1e9 * self.p.block_dma_efficiency
+        )
+        t_step = num_blocks * (self.p.block_step_overhead_s + 4e-9)
+        return max(t_dma, t_step) + self.p.launch_overhead_s
+
+    def window_resident_bytes(self, num_blocks: int, block_h: int) -> int:
+        return num_blocks * ((block_h * 128 + 128) * 4 + 16)
+
     def dense_seconds(self, rows: int, cols: int) -> float:
         rp, cp = -(-rows // 8) * 8, -(-cols // 128) * 128
         a_bytes = rp * cp * 4

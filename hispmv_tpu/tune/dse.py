@@ -99,6 +99,36 @@ def estimate_stream_steps(
     return int(seg_len[np.arange(E) * num_pes].sum())
 
 
+def count_window_blocks(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    block_h: int,
+    num_cols: int,
+) -> int:
+    """Exact block count for the windowed format (plan/windows.py): one
+    block per (row_block, window, conflict-layer)."""
+    from hispmv_tpu.plan.windows import SEGS, WINDOW
+
+    n = len(rows)
+    if n == 0:
+        return 0
+    nwin = max(-(-num_cols // WINDOW), 1)
+    rb = rows.astype(np.int64) // block_h
+    wb = cols // WINDOW
+    lane = cols % LANES
+    sub = (cols // LANES) % SEGS
+    key = ((rb * nwin + wb) * LANES + lane) * SEGS + sub
+    uniq = np.unique(key)
+    group = uniq // SEGS  # (rb, wb, lane)
+    first = np.zeros(len(uniq), np.int64)
+    newgrp = np.nonzero(np.diff(group))[0] + 1
+    first[newgrp] = newgrp
+    np.maximum.accumulate(first, out=first)
+    layer = np.arange(len(uniq)) - first
+    block_key = (group // LANES) * SEGS + layer
+    return len(np.unique(block_key))
+
+
 def count_blocks(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -165,6 +195,20 @@ class DSE:
                          base, block_h=bh, col_reorder=reorder))
                 )
 
+        # Windowed block-ELL (per-lane sub-index gather within 1024-col
+        # windows; merges conflict-free scattered blocks).
+        for bh in (8, 16, 32, 64):
+            nb = count_window_blocks(coo.rows, coo.cols, bh, C)
+            nb = max(nb, -(-R // bh))
+            if not self.model.fits(
+                self.model.window_resident_bytes(nb, bh)
+            ):
+                continue
+            cands.append(
+                (f"win{bh}", self.model.window_seconds(nb, bh, R, C),
+                 dataclasses.replace(base, block_h=bh))
+            )
+
         # Gather stream.
         P = base.num_pes
         thresh = base.split_threshold or derive_split_threshold(nnz, P)
@@ -178,9 +222,14 @@ class DSE:
             raise RuntimeError("no candidate fits device memory")
         cands.sort(key=lambda c: c[1])
         label, secs, cfg = cands[0]
-        fmt = "dense" if label == "dense" else (
-            "stream" if label == "stream" else "block"
-        )
+        if label == "dense":
+            fmt = "dense"
+        elif label == "stream":
+            fmt = "stream"
+        elif label.startswith("win"):
+            fmt = "window"
+        else:
+            fmt = "block"
         return TuneResult(
             format=fmt,
             config=cfg,
