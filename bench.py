@@ -22,10 +22,16 @@ Method
 
 import json
 import math
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compile cache: repeated bench runs (and the per-matrix
+# loop graphs) skip recompiles where the backend honors it.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 # Reference U280 GFLOP/s per matrix (BASELINE.md section 1).
 U280_GFLOPS = {

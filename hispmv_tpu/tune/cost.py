@@ -36,7 +36,7 @@ class DeviceProfile:
 
     name: str = "tpu-v5e"
     hbm_gbps: float = 794.0
-    stream_efficiency: float = 0.002
+    stream_efficiency: float = 0.001
     block_dma_efficiency: float = 0.88  # contiguous chunk streaming
     block_step_overhead_s: float = 2.8e-8
     dense_efficiency: float = 0.90  # plain matmul row streaming

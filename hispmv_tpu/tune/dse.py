@@ -170,35 +170,49 @@ class DSE:
                  dataclasses.replace(base, dense_overlay=True))
             )
 
-        # Block-ELL: block_h x reorder grid.
-        perm_cols = None
-        for reorder in (False, True):
-            if reorder:
-                if perm_cols is None:
-                    perm = degree_column_perm(coo)
-                    inv = np.empty(C, np.int64)
-                    inv[perm] = np.arange(C)
-                    perm_cols = inv[coo.cols]
-                cols = perm_cols
-            else:
-                cols = coo.cols
-            for bh in (8, 16, 32, 64):
-                nb = count_blocks(coo.rows, cols, bh, C)
-                # Account for zero-block insertion on empty row-blocks.
-                nb = max(nb, -(-R // bh))
-                if not self.model.fits(self.model.block_resident_bytes(nb, bh)):
-                    continue
-                label = f"block{bh}{'-perm' if reorder else ''}"
-                cands.append(
-                    (label, self.model.block_seconds(nb, bh, R, C),
-                     dataclasses.replace(
-                         base, block_h=bh, col_reorder=reorder))
-                )
+        # Block-ELL: one O(nnz) sort at block_h=8; larger heights derived
+        # from the (much smaller) unique-key array.
+        from hispmv_tpu.plan.windows import SEGS, WINDOW
 
-        # Windowed block-ELL (per-lane sub-index gather within 1024-col
-        # windows; merges conflict-free scattered blocks).
+        ncb = max(-(-C // LANES), 1)
+        rb8 = coo.rows.astype(np.int64) // 8
+        uk8 = np.unique(rb8 * ncb + coo.cols // LANES)
+        uk_rb8, uk_cb = uk8 // ncb, uk8 % ncb
         for bh in (8, 16, 32, 64):
-            nb = count_window_blocks(coo.rows, coo.cols, bh, C)
+            if bh == 8:
+                nb = len(uk8)
+            else:
+                nb = len(np.unique((uk_rb8 // (bh // 8)) * ncb + uk_cb))
+            nb = max(nb, -(-R // bh))
+            if not self.model.fits(self.model.block_resident_bytes(nb, bh)):
+                continue
+            cands.append(
+                (f"block{bh}", self.model.block_seconds(nb, bh, R, C),
+                 dataclasses.replace(base, block_h=bh))
+            )
+
+        # Windowed block-ELL: same trick — one unique over slot keys at
+        # block_h=8, larger heights derived from the unique-slot array.
+        nwin = max(-(-C // WINDOW), 1)
+        wb = coo.cols // WINDOW
+        lane = coo.cols % LANES
+        sub = (coo.cols // LANES) % SEGS
+        us8 = np.unique(
+            ((rb8 * nwin + wb) * LANES + lane) * SEGS + sub
+        )
+        us_rb8 = us8 // (np.int64(nwin) * LANES * SEGS)
+        us_rest = us8 % (np.int64(nwin) * LANES * SEGS)
+        for bh in (8, 16, 32, 64):
+            merged = (us_rb8 // (bh // 8)) * (np.int64(nwin) * LANES * SEGS)
+            merged = merged + us_rest
+            u = np.unique(merged) if bh > 8 else us8 if bh == 8 else None
+            group = u // SEGS
+            first = np.zeros(len(u), np.int64)
+            newgrp = np.nonzero(np.diff(group))[0] + 1
+            first[newgrp] = newgrp
+            np.maximum.accumulate(first, out=first)
+            layer = np.arange(len(u)) - first
+            nb = len(np.unique((group // LANES) * SEGS + layer))
             nb = max(nb, -(-R // bh))
             if not self.model.fits(
                 self.model.window_resident_bytes(nb, bh)
