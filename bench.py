@@ -64,8 +64,11 @@ DEFAULT_SET = [
     ("nd6k", 1.0),
     ("crystk03", 1.0),
     ("soc-Pokec", 0.15),
-    ("language", 1.0),
 ]
+
+# Stop starting new matrices past this wall-clock budget (driver runs have
+# a bounded window; remote compiles are minutes each).
+BUDGET_S = float(os.environ.get("HISPMV_BENCH_BUDGET_S", "420"))
 
 
 def log(*a):
@@ -130,7 +133,11 @@ def main():
         [(n, 1.0) for n in names] if names else DEFAULT_SET
     )
     results = []
+    t_start = time.time()
     for name, scale in cases:
+        if results and time.time() - t_start > BUDGET_S:
+            log(f"[{name}] SKIPPED (past {BUDGET_S:.0f}s budget)")
+            continue
         try:
             results.append(bench_matrix(name, scale))
         except Exception as e:  # keep the bench alive per matrix

@@ -120,6 +120,86 @@ class SpmvHandle:
             fill=self._fill,
         )
 
+    @classmethod
+    def from_plan(cls, plan, interpret: Optional[bool] = None):
+        """Build a handle directly from a prepared (possibly deserialized)
+        plan, skipping preprocessing — the load-resident-matrix analog
+        (fpga_handle.cpp:189-206 + plan/serialize.py)."""
+        from hispmv_tpu.plan.blocks import BlockPlan
+        from hispmv_tpu.plan.partition import StreamPlan
+        from hispmv_tpu.plan.windows import WindowPlan
+
+        self = cls.__new__(cls)
+        self.config = getattr(plan, "config", None) or SpmvConfig()
+        self.coo = None
+        self.shape = tuple(plan.shape)
+        self.nnz = plan.nnz
+        if isinstance(plan, BlockPlan):
+            self.config = dataclasses.replace(
+                self.config, block_h=plan.block_h
+            )
+            self._block_plan_meta = plan
+            self._chunked = self._block_fits_chunked(plan)
+            if self._chunked:
+                self._chunk = chunk_for(plan.block_h)
+                data3d, meta, _ = pack_chunks(plan, self._chunk)
+                self._d = {
+                    "data": jnp.asarray(data3d),
+                    "meta": jnp.asarray(meta),
+                }
+            else:
+                self._d = {
+                    "data": jnp.asarray(plan.data),
+                    "rows": jnp.asarray(plan.block_rows),
+                    "cols": jnp.asarray(plan.block_cols),
+                    "firsts": jnp.asarray(plan.block_firsts),
+                    "lasts": jnp.asarray(plan.block_lasts),
+                }
+            self._fill = plan.fill
+            fmt = "block"
+        elif isinstance(plan, WindowPlan):
+            self.config = dataclasses.replace(
+                self.config, block_h=plan.block_h
+            )
+            self._window_plan_meta = plan
+            self._wchunk = chunk_for_windowed(plan.block_h)
+            data3d, subidx3d, meta, _ = pack_window_chunks(
+                plan, self._wchunk
+            )
+            self._d = {
+                "data": jnp.asarray(data3d),
+                "subidx": jnp.asarray(subidx3d),
+                "meta": jnp.asarray(meta),
+            }
+            self._fill = plan.fill
+            fmt = "window"
+        elif isinstance(plan, StreamPlan):
+            self._stream_plan_meta = plan
+            self._d = {
+                "vals": jnp.asarray(plan.vals),
+                "cols": jnp.asarray(plan.cols),
+                "round_ids": jnp.asarray(plan.round_ids()),
+                "seg_rows": jnp.asarray(plan.seg_rows),
+            }
+            self._fill = 1.0 - plan.padding_ratio
+            fmt = "stream"
+        else:
+            raise TypeError(f"unsupported plan type {type(plan)}")
+        self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
+        self.format = fmt
+        self.interpret = (
+            _use_interpret() if interpret is None else interpret
+        )
+        self._runner = None
+        self._batch_runners = {}
+        self.stats = PrepareStats(
+            format=fmt,
+            prep_time_s=0.0,
+            device_bytes=self.device_bytes,
+            fill=self._fill,
+        )
+        return self
+
     # -- preparation ------------------------------------------------------
 
     def _from_dense_array(self, arr: np.ndarray):

@@ -101,16 +101,42 @@ def random_coo(
 
 
 def banded_coo(
-    rows: int, cols: int, nnz: int, seed: int = 0, bandwidth: Optional[int] = None
+    rows: int,
+    cols: int,
+    nnz: int,
+    seed: int = 0,
+    bandwidth: Optional[int] = None,
+    run: int = 24,
 ) -> COOMatrix:
-    """FEM-style banded matrix: nnz clustered near the diagonal."""
+    """FEM-style banded matrix: each row holds a few CONTIGUOUS runs of
+    nonzeros near the diagonal, and adjacent rows couple to nearly the same
+    columns (element connectivity).  This matches real FEM band structure
+    (crystk03, PFlow_742, ...): scattered-ban d generators misrepresent how
+    block-friendly such matrices are."""
     rng = np.random.default_rng(seed)
     per_row = max(1, nnz // rows)
+    nruns = max(1, per_row // run)
+    run_len = max(1, per_row // nruns)
     if bandwidth is None:
-        bandwidth = max(4 * per_row, 16)
-    r = np.repeat(np.arange(rows, dtype=np.int64), per_row)
-    offs = rng.integers(-bandwidth, bandwidth + 1, size=len(r))
-    c = np.clip(r + offs, 0, cols - 1)
+        bandwidth = max(2 * per_row, 4 * run_len * nruns)
+    r_idx = np.arange(rows, dtype=np.int64)
+    # run base offsets shared by 8-row groups (element blocks), with small
+    # per-group jitter
+    group = r_idx // 8
+    ngroups = int(group.max()) + 1
+    jit = rng.integers(-run_len // 2, run_len // 2 + 1, size=(ngroups, nruns))
+    spacing = max(bandwidth // max(nruns, 1), run_len)
+    starts = (
+        r_idx[:, None]
+        - bandwidth // 2
+        + np.arange(nruns)[None, :] * spacing
+        + jit[group]
+    )  # [rows, nruns]
+    offs = np.arange(run_len, dtype=np.int64)
+    c = (starts[:, :, None] + offs[None, None, :]).reshape(rows, -1)
+    c = np.clip(c, 0, cols - 1)
+    r = np.repeat(r_idx, c.shape[1])
+    c = c.reshape(-1)
     key = r * cols + c
     _, idx = np.unique(key, return_index=True)
     r, c = r[idx], c[idx]

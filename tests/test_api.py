@@ -78,7 +78,7 @@ def test_verify_method():
     assert stats.ok, f"max rel err {stats.max_rel_error}"
 
 
-@pytest.mark.parametrize("fmt", ["block", "dense", "stream"])
+@pytest.mark.parametrize("fmt", ["block", "dense", "stream", "window"])
 def test_linear_batched(fmt):
     coo = random_coo(256, 192, 6000, seed=6)
     h = SpmvHandle(coo, format=fmt)
@@ -137,3 +137,29 @@ def test_block_with_col_reorder_config():
     np.testing.assert_allclose(
         np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4
     )
+
+
+def test_plan_serialization_roundtrip(tmp_path):
+    from hispmv_tpu.plan import (
+        build_block_plan,
+        build_window_plan,
+        load_plan,
+        save_plan,
+    )
+    from hispmv_tpu.plan.partition import build_plan as build_stream_plan
+
+    coo = random_coo(300, 400, 5000, seed=20)
+    x = np.random.default_rng(21).standard_normal(400).astype(np.float32)
+    want = golden(coo, x)
+    for plan in [
+        build_block_plan(coo, block_h=8),
+        build_window_plan(coo, block_h=8),
+        build_stream_plan(coo),
+    ]:
+        p = str(tmp_path / "plan.npz")
+        save_plan(p, plan)
+        loaded = load_plan(p)
+        h = SpmvHandle.from_plan(loaded)
+        assert h.nnz == coo.nnz and h.shape == coo.shape
+        got = np.asarray(h.run(x))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
