@@ -226,3 +226,188 @@ def spmv_sharded(
     ]
     y = jnp.concatenate(pieces)
     return y[: splan.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# Windowed-format sharding: same contiguous nnz-balanced row-block splits,
+# with the windowed stream's sub-index sideband carried per shard.
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedWindowPlan:
+    shape: tuple
+    nnz: int
+    block_h: int
+    num_devices: int
+    data: np.ndarray  # f32 [D, nb_max, block_h, LANES]
+    subidx: np.ndarray  # i32 [D, nb_max, LANES]
+    block_rows: np.ndarray  # i32 [D, nb_max] local row-block ids
+    block_wins: np.ndarray  # i32 [D, nb_max]
+    block_firsts: np.ndarray  # i32 [D, nb_max]
+    block_lasts: np.ndarray  # i32 [D, nb_max]
+    nrb_per_dev: tuple
+    nrb_max: int
+    num_windows: int
+    blocks_per_dev: tuple
+
+    @property
+    def balance(self) -> float:
+        loads = np.asarray(self.blocks_per_dev, np.float64)
+        return float(loads.max() / max(loads.mean(), 1e-9))
+
+
+def build_sharded_window_plan(
+    coo: COOMatrix, num_devices: int, block_h: int = 8
+) -> ShardedWindowPlan:
+    from hispmv_tpu.plan.windows import build_window_plan
+
+    plan = build_window_plan(coo, block_h=block_h)
+    nrb = plan.num_row_blocks
+    blocks_per_rb = np.bincount(plan.block_rows, minlength=nrb)
+    bounds = _split_boundaries(blocks_per_rb, num_devices)
+    rb_starts = np.concatenate([[0], np.cumsum(blocks_per_rb)])
+    dev_slices = [
+        (int(rb_starts[bounds[d]]), int(rb_starts[bounds[d + 1]]))
+        for d in range(num_devices)
+    ]
+    from hispmv_tpu.ops.spmv_windowed import chunk_for_windowed
+
+    nb_real = [e - s for s, e in dev_slices]
+    nb_max = max(max(nb_real), 1)
+    # pad shard length to a whole number of VMEM-sized chunks
+    chunk = min(chunk_for_windowed(block_h), max(nb_max, 8))
+    nb_max = -(-nb_max // chunk) * chunk
+    nrb_per_dev = tuple(
+        int(bounds[d + 1] - bounds[d]) for d in range(num_devices)
+    )
+    nrb_max = max(max(nrb_per_dev), 1)
+
+    D = num_devices
+    data = np.zeros((D, nb_max, block_h, LANES), np.float32)
+    subidx = np.zeros((D, nb_max, LANES), np.int32)
+    rows = np.zeros((D, nb_max), np.int32)
+    wins = np.zeros((D, nb_max), np.int32)
+    firsts = np.zeros((D, nb_max), np.int32)
+    lasts = np.zeros((D, nb_max), np.int32)
+    for d, (s, e) in enumerate(dev_slices):
+        n = e - s
+        if n == 0:
+            rows[d, 0] = 0
+            firsts[d, 0] = 1
+            lasts[d, 0] = 1
+            continue
+        data[d, :n] = plan.data[s:e]
+        subidx[d, :n] = plan.subidx[s:e]
+        rows[d, :n] = plan.block_rows[s:e] - int(bounds[d])
+        wins[d, :n] = plan.block_wins[s:e]
+        firsts[d, :n] = plan.block_firsts[s:e]
+        lasts[d, :n] = plan.block_lasts[s:e]
+        if n < nb_max:
+            rows[d, n:] = rows[d, n - 1]
+
+    return ShardedWindowPlan(
+        shape=plan.shape,
+        nnz=plan.nnz,
+        block_h=block_h,
+        num_devices=D,
+        data=data,
+        subidx=subidx,
+        block_rows=rows,
+        block_wins=wins,
+        block_firsts=firsts,
+        block_lasts=lasts,
+        nrb_per_dev=nrb_per_dev,
+        nrb_max=nrb_max,
+        num_windows=plan.num_windows,
+        blocks_per_dev=tuple(nb_real),
+    )
+
+
+def spmv_sharded_window(
+    splan: ShardedWindowPlan,
+    x,
+    mesh: Mesh,
+    *,
+    x_mode: str = "replicated",
+    interpret: bool = False,
+) -> jax.Array:
+    """Distributed windowed SpMV; same communication structure as
+    :func:`spmv_sharded`."""
+    from jax import shard_map
+
+    from hispmv_tpu.ops.spmv_windowed import spmv_windowed_pallas
+    from hispmv_tpu.plan.windows import SEGS
+
+    axis = mesh.axis_names[0]
+    D = splan.num_devices
+    bh = splan.block_h
+    nrb_max = splan.nrb_max
+    Cp = splan.num_windows * SEGS * LANES
+
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[0] != splan.shape[1]:
+        raise ValueError(
+            f"x has {x.shape[0]} entries, matrix has {splan.shape[1]} columns"
+        )
+    if Cp > x.shape[0]:
+        x = jnp.pad(x, (0, Cp - x.shape[0]))
+    per_dev = -(-Cp // (D * LANES)) * LANES
+    if per_dev * D > x.shape[0]:
+        x = jnp.pad(x, (0, per_dev * D - x.shape[0]))
+
+    args = (
+        jnp.asarray(splan.data),
+        jnp.asarray(splan.subidx),
+        jnp.asarray(splan.block_rows),
+        jnp.asarray(splan.block_wins),
+        jnp.asarray(splan.block_firsts),
+        jnp.asarray(splan.block_lasts),
+    )
+
+    # rebuild the packed 2-row meta per shard once, outside shard_map
+    meta = np.zeros((D, 2, splan.data.shape[1]), np.int32)
+    meta[:, 0] = splan.block_rows * 2 + splan.block_lasts
+    meta[:, 1] = splan.block_wins
+    meta_j = jnp.asarray(meta)
+
+    from hispmv_tpu.ops.spmv_windowed import chunk_for_windowed
+
+    nb_max = splan.data.shape[1]
+    chunk = min(chunk_for_windowed(bh), nb_max)
+    assert nb_max % chunk == 0, (nb_max, chunk)
+    nchunks = nb_max // chunk
+
+    def body(data, subidx, rows, wins, firsts, lasts, meta_l, x_in):
+        del rows, wins, firsts, lasts
+        data, subidx, meta_l = data[0], subidx[0], meta_l[0]
+        if x_mode == "gather":
+            xg = jax.lax.all_gather(x_in, axis, tiled=True)
+        else:
+            xg = x_in
+        data3d = data.reshape(nchunks, chunk * bh, LANES)
+        subidx3d = subidx.reshape(nchunks, chunk, LANES)
+        meta3d = jnp.transpose(
+            meta_l.reshape(2, nchunks, chunk), (1, 0, 2)
+        )
+        y = spmv_windowed_pallas(
+            data3d, subidx3d, meta3d,
+            xg[:Cp].reshape(-1, LANES), nrb_max, bh, chunk,
+            unroll=1, interpret=interpret,
+        )
+        return y.reshape(1, nrb_max * bh)
+
+    x_spec = P(axis) if x_mode == "gather" else P()
+    y_sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis),) * 6 + (P(axis), x_spec),
+        out_specs=P(axis),
+        check_vma=False,
+    )(*args, meta_j, x)
+
+    pieces = [
+        y_sharded[d, : splan.nrb_per_dev[d] * bh] for d in range(D)
+    ]
+    y = jnp.concatenate(pieces)
+    return y[: splan.shape[0]]

@@ -72,3 +72,28 @@ def test_sharded_empty_device_tail():
     x = np.random.default_rng(6).standard_normal(200).astype(np.float32)
     y = np.asarray(spmv_sharded(sp, x, mesh, interpret=True))
     np.testing.assert_allclose(y, golden(coo, x), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("x_mode", ["replicated", "gather"])
+def test_sharded_window_matches_scipy(x_mode):
+    from hispmv_tpu.dist import build_sharded_window_plan, spmv_sharded_window
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    coo = powerlaw_coo(900, 1100, 25_000, seed=7)
+    mesh = make_mesh(4)
+    sp = build_sharded_window_plan(coo, num_devices=4)
+    x = np.random.default_rng(8).standard_normal(1100).astype(np.float32)
+    y = np.asarray(
+        spmv_sharded_window(sp, x, mesh, x_mode=x_mode, interpret=True)
+    )
+    np.testing.assert_allclose(y, golden(coo, x), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_window_balance():
+    from hispmv_tpu.dist import build_sharded_window_plan
+
+    coo = powerlaw_coo(4000, 4000, 120_000, seed=9)
+    sp = build_sharded_window_plan(coo, num_devices=8)
+    assert sp.balance < 2.0
+    assert sum(sp.nrb_per_dev) == -(-4000 // sp.block_h)
