@@ -81,8 +81,8 @@ def bench_matrix(name: str, scale: float) -> dict:
     from hispmv_tpu.formats.synth import suite_matrix
     from hispmv_tpu.api.handle import SpmvHandle
     from hispmv_tpu.tune import tune
-    from hispmv_tpu.utils import measure_loop_time
-    from hispmv_tpu.utils.timing import spmv_step_wrapper
+    from hispmv_tpu.utils.errors import error_stats
+    from hispmv_tpu.utils.timing import bench_spmv
 
     t0 = time.time()
     coo = suite_matrix(name, scale=scale)
@@ -93,26 +93,18 @@ def bench_matrix(name: str, scale: float) -> dict:
         f"fill={handle.stats.fill:.3f} prep={time.time()-t0:.1f}s"
     )
 
-    # golden check before timing
-    stats = handle.verify()
+    x = np.random.default_rng(0).standard_normal(coo.num_cols)
+    x = x.astype(np.float32)
+    # One compiled executable serves both verification (the n=1 warm-up's
+    # captured y) and the loop-slope timing — remote compiles are minutes,
+    # so this halves per-matrix compile cost.
+    t, y = bench_spmv(lambda xx: handle.run(xx), jnp.asarray(x))
+    stats = error_stats(y, coo.matvec(x.astype(np.float64)))
     if not stats.ok:
         log(f"[{name}] VERIFY FAILED max rel {stats.max_rel_error:.2e}")
-
-    x0 = jnp.asarray(
-        np.random.default_rng(0)
-        .standard_normal(coo.num_cols)
-        .astype(np.float32)
-    )
-
-    def kern(x):
-        return handle.run(x)
-
-    # handle.run pads internally; build the step on the raw x
-    step, c0 = spmv_step_wrapper(kern, x0)
-    t = measure_loop_time(step, c0)
     gflops = 2 * (coo.nnz + coo.num_rows) / t / 1e9
     log(
-        f"[{name}] t={t*1e6:.0f}us {gflops:.1f} GFLOP/s "
+        f"[{name}] t={t*1e6:.0f}us {gflops:.1f} GFLOP/s verified={stats.ok} "
         f"(reference U280: {U280_GFLOPS[name]})"
     )
     return {
@@ -127,21 +119,8 @@ def bench_matrix(name: str, scale: float) -> dict:
     }
 
 
-def main():
-    names = sys.argv[1:]
-    cases = (
-        [(n, 1.0) for n in names] if names else DEFAULT_SET
-    )
-    results = []
-    t_start = time.time()
-    for name, scale in cases:
-        if results and time.time() - t_start > BUDGET_S:
-            log(f"[{name}] SKIPPED (past {BUDGET_S:.0f}s budget)")
-            continue
-        try:
-            results.append(bench_matrix(name, scale))
-        except Exception as e:  # keep the bench alive per matrix
-            log(f"[{name}] ERROR: {type(e).__name__}: {e}")
+def emit(results):
+    """Print the one-line JSON for whatever completed."""
     if not results:
         print(json.dumps({"metric": "spmv_gflops_geomean", "value": 0.0,
                           "unit": "GFLOP/s", "vs_baseline": 0.0}))
@@ -168,6 +147,41 @@ def main():
             }
         )
     )
+
+
+def main():
+    import signal
+
+    from hispmv_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    names = sys.argv[1:]
+    cases = [(n, 1.0) for n in names] if names else DEFAULT_SET
+    results = []
+    emitted = [False]
+
+    def _finish(signum=None, frame=None):
+        if not emitted[0]:
+            emitted[0] = True
+            emit(results)
+        if signum is not None:
+            sys.stdout.flush()
+            os._exit(0)
+
+    # Emit partial results if the driver's timeout lands mid-matrix.
+    signal.signal(signal.SIGTERM, _finish)
+    signal.signal(signal.SIGINT, _finish)
+
+    t_start = time.time()
+    for name, scale in cases:
+        if results and time.time() - t_start > BUDGET_S:
+            log(f"[{name}] SKIPPED (past {BUDGET_S:.0f}s budget)")
+            continue
+        try:
+            results.append(bench_matrix(name, scale))
+        except Exception as e:  # keep the bench alive per matrix
+            log(f"[{name}] ERROR: {type(e).__name__}: {e}")
+    _finish()
 
 
 if __name__ == "__main__":

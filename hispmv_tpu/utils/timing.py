@@ -104,3 +104,67 @@ def spmv_step_wrapper(kernel: Callable, x0: jax.Array):
         return (x + dep, acc + dep[0])
 
     return step, (x0, jnp.zeros((), x0.dtype))
+
+
+def bench_spmv(
+    kernel: Callable,
+    x0: jax.Array,
+    *,
+    n_pair: Tuple[int, int] = (1, 17),
+    repeats: int = 3,
+):
+    """Time an ``x -> y`` kernel AND capture one result with a single
+    compiled executable.
+
+    Compiling the measurement loop is expensive on remote backends; this
+    threads y through the loop carry so the n=1 warm-up run doubles as the
+    verification run.  Returns ``(seconds_per_call, y_numpy)``.
+    """
+    import numpy as np
+
+    # eval_shape traces without compiling or executing
+    y_shape = jax.eval_shape(lambda x: kernel(x), x0)
+
+    def step(carry):
+        x, acc, _ = carry
+        y = kernel(x)
+        dep = y.ravel()[:1].astype(x.dtype) * 1e-30
+        return (x + dep, acc + dep[0], y)
+
+    carry0 = (
+        x0,
+        jnp.zeros((), x0.dtype),
+        jnp.zeros(y_shape.shape, y_shape.dtype),
+    )
+
+    @jax.jit
+    def run(carry, salt, n):
+        x, acc, y = carry
+        carry = (x + jnp.asarray(salt, x.dtype) * 1e-30, acc, y)
+        carry = jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
+        chk = jnp.sum(carry[0].ravel()[:1].astype(jnp.float32))
+        return carry, chk
+
+    n_lo, n_hi = n_pair
+    carry, chk = run(carry0, 0.0, jnp.int32(n_lo))
+    float(chk)
+    y_out = np.asarray(carry[2])
+
+    salt = [1.0]
+
+    def timed(n: int) -> float:
+        best = float("inf")
+        for _ in range(repeats):
+            salt[0] += 1.0
+            t0 = time.perf_counter()
+            _, c = run(carry0, salt[0], jnp.int32(n))
+            float(c)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo = timed(n_lo)
+    n, t_n = n_hi, timed(n_hi)
+    while (t_n - t_lo) < 0.08 and n < 60_000:
+        n = min(n * 8, 60_000)
+        t_n = timed(n)
+    return max((t_n - t_lo) / (n - n_lo), 1e-12), y_out
