@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Weak-scaling harness: distributed SpMV over 1..N devices.
+
+North-star target (BASELINE.md section 6): >=70% weak-scaling efficiency at
+4 hosts.  On real multi-chip hardware this measures it; in this repo's
+single-chip environment it runs on the virtual CPU mesh, which validates
+sharding/collectives and reports *balance* (the planner-controlled part of
+scaling) while marking timing as not-hardware.
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/weak_scaling.py --devices 1 2 4 8
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    from hispmv_tpu.utils.platform import honor_platform_env
+
+    honor_platform_env()
+    import jax
+
+    from hispmv_tpu.dist import (
+        build_sharded_window_plan,
+        make_mesh,
+        spmv_sharded_window,
+    )
+    from hispmv_tpu.formats.synth import blocked_coo
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--nnz-per-device", type=int, default=500_000)
+    ap.add_argument("--x-mode", default="gather")
+    args = ap.parse_args()
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    on_hw = not interpret
+    print(
+        f"backend={jax.default_backend()} devices={len(jax.devices())} "
+        f"timing={'hardware' if on_hw else 'NOT-hardware (virtual mesh)'}"
+    )
+
+    base_t = None
+    for d in args.devices:
+        if d > len(jax.devices()):
+            print(f"D={d}: skipped (only {len(jax.devices())} devices)")
+            continue
+        # weak scaling: problem grows with device count
+        rows = 4096 * d
+        coo = blocked_coo(rows, rows, args.nnz_per_device * d, seed=d)
+        mesh = make_mesh(d)
+        sp = build_sharded_window_plan(coo, num_devices=d)
+        x = np.random.default_rng(0).standard_normal(rows).astype(np.float32)
+
+        def run():
+            return spmv_sharded_window(
+                sp, x, mesh, x_mode=args.x_mode, interpret=interpret
+            )
+
+        y = np.asarray(run())  # compile + warm
+        want = coo.to_scipy() @ x.astype(np.float64)
+        ok = np.allclose(y, want, rtol=1e-3, atol=1e-4)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            y = run()
+        import jax as _j
+
+        _j.block_until_ready(y)
+        t = (time.perf_counter() - t0) / 3
+        if base_t is None:
+            base_t = t
+        eff = base_t / t  # weak scaling: ideal keeps t constant
+        print(
+            f"D={d}: nnz={coo.nnz} balance={sp.balance:.2f} ok={ok} "
+            f"t={t*1e3:.1f}ms weak_eff={eff:.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,19 @@ def test_layers_bounded_by_segs():
 
     c = Counter(zip(plan.block_rows.tolist(), plan.block_wins.tolist()))
     assert max(c.values()) <= 8
+
+
+def test_empty_matrix_window_plan():
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    coo = COOMatrix(
+        (16, 200),
+        np.zeros(0, np.int32),
+        np.zeros(0, np.int32),
+        np.zeros(0, np.float32),
+    )
+    plan = build_window_plan(coo, block_h=8)
+    assert plan.num_blocks == plan.num_row_blocks  # all zero blocks
+    x = np.ones(200, np.float32)
+    got = np.asarray(spmv_windowed(plan, x, chunk=8, interpret=True))
+    np.testing.assert_allclose(got, np.zeros(16), atol=0)
