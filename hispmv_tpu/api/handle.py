@@ -319,31 +319,34 @@ class SpmvHandle:
         return x
 
     def _make_runner(self):
+        # Plan arrays are passed as EXPLICIT jit arguments (the ``d`` dict),
+        # never closures: closed-over arrays get captured as lowered-module
+        # constants, which ships/compiles hundreds of MBs per jit on remote
+        # backends.
         fmt = self.format
         interp = self.interpret
         R = self.shape[0]
         if fmt == "dense":
-            dense = self._dense
 
-            def run(x, y_in, alpha, beta):
-                y = gemv_xla(dense, x)[:R]
+            def run(d, x, y_in, alpha, beta):
+                y = gemv_xla(d["dense"], x)[:R]
                 y = alpha * y
                 return y if y_in is None else y + beta * y_in
 
         elif fmt == "block":
-            d = self._d
             plan = self._block_plan_meta
             nrb = plan.num_row_blocks
             chunked = self._chunked
             bh = plan.block_h
+            chunk = self._chunk if chunked else None
 
-            def run(x, y_in, alpha, beta):
+            def run(d, x, y_in, alpha, beta):
                 if "perm" in d:
                     x = jnp.take(x, d["perm"], axis=0)
                 if chunked:
                     y = spmv_chunked_pallas(
                         d["data"], d["meta"], x.reshape(-1, LANES),
-                        nrb, bh, self._chunk, interpret=interp,
+                        nrb, bh, chunk, interpret=interp,
                     )
                 else:
                     y = spmv_block_pallas(
@@ -355,13 +358,12 @@ class SpmvHandle:
                 return y if y_in is None else y + beta * y_in
 
         elif fmt == "window":
-            d = self._d
             plan = self._window_plan_meta
             nrb = plan.num_row_blocks
             bh = plan.block_h
             wchunk = self._wchunk
 
-            def run(x, y_in, alpha, beta):
+            def run(d, x, y_in, alpha, beta):
                 y = spmv_windowed_pallas(
                     d["data"], d["subidx"], d["meta"],
                     x.reshape(-1, LANES), nrb, bh, wchunk,
@@ -371,10 +373,9 @@ class SpmvHandle:
                 return y if y_in is None else y + beta * y_in
 
         else:  # stream
-            d = self._d
             plan = self._stream_plan_meta
 
-            def run(x, y_in, alpha, beta):
+            def run(d, x, y_in, alpha, beta):
                 y = spmv_xla(
                     d["vals"], d["cols"], d["round_ids"], d["seg_rows"],
                     plan.num_rounds, R, x,
@@ -384,6 +385,11 @@ class SpmvHandle:
 
         return jax.jit(run)
 
+    def _runner_args(self) -> dict:
+        if self.format == "dense":
+            return {"dense": self._dense}
+        return self._d
+
     def run(self, x, y_in=None, alpha=1.0, beta=0.0) -> jax.Array:
         """``y = alpha * A @ x + beta * y_in`` (single vector)."""
         if self._runner is None:
@@ -391,64 +397,61 @@ class SpmvHandle:
         x = self._pad_x(jnp.asarray(x, jnp.float32))
         y_in = None if y_in is None else jnp.asarray(y_in, jnp.float32)
         return self._runner(
-            x, y_in, jnp.float32(alpha), jnp.float32(beta)
+            self._runner_args(), x, y_in, jnp.float32(alpha),
+            jnp.float32(beta),
         )
 
     # -- batched ----------------------------------------------------------
 
     def _make_batch_runner(self, batch: int):
+        # Same explicit-argument rule as _make_runner (no closed-over plan
+        # arrays — they become lowered-module constants).
         fmt = self.format
         interp = self.interpret
         R = self.shape[0]
         if fmt == "dense":
-            dense = self._dense
 
-            def run(xb, bias):
+            def run(d, xb, bias):
                 # xb [B, Cp] -> y [B, R]
-                y = gemv_xla(dense, xb)[:, :R]
+                y = gemv_xla(d["dense"], xb)[:, :R]
                 return y if bias is None else y + bias[None, :]
 
         elif fmt == "block":
-            d = self._d
             plan = self._block_plan_meta
             nrb = plan.num_row_blocks
-            if self._chunked:
+            if self._chunked and not hasattr(self, "_batch_d"):
                 # The batched MXU kernel wants per-block arrays; upload them
                 # lazily (kept separate from the chunked single-vector
                 # stream).
-                if not hasattr(self, "_batch_d"):
-                    self._batch_d = {
-                        "data": jnp.asarray(plan.data),
-                        "rows": jnp.asarray(plan.block_rows),
-                        "cols": jnp.asarray(plan.block_cols),
-                        "firsts": jnp.asarray(plan.block_firsts),
-                        "lasts": jnp.asarray(plan.block_lasts),
-                    }
-                bd = self._batch_d
-            else:
-                bd = d
+                self._batch_d = {
+                    "data": jnp.asarray(plan.data),
+                    "rows": jnp.asarray(plan.block_rows),
+                    "cols": jnp.asarray(plan.block_cols),
+                    "firsts": jnp.asarray(plan.block_firsts),
+                    "lasts": jnp.asarray(plan.block_lasts),
+                }
+                if "perm" in self._d:
+                    self._batch_d["perm"] = self._d["perm"]
 
-            def run(xb, bias):
+            def run(d, xb, bias):
                 if "perm" in d:
                     xb = jnp.take(xb, d["perm"], axis=1)
                 # [B, Cp] -> [ncb, LANES, B]
                 xt = xb.T.reshape(-1, LANES, xb.shape[0])
                 y = spmv_block_batched_pallas(
-                    bd["data"], bd["rows"], bd["cols"], bd["firsts"],
-                    bd["lasts"], xt, nrb, interpret=interp,
+                    d["data"], d["rows"], d["cols"], d["firsts"],
+                    d["lasts"], xt, nrb, interpret=interp,
                 )  # [nrb, block_h, B]
                 y = y.reshape(-1, xb.shape[0])[:R].T  # [B, R]
                 return y if bias is None else y + bias[None, :]
 
         elif fmt == "window":
-            d = self._d
             plan = self._window_plan_meta
             nrb = plan.num_row_blocks
             bh = plan.block_h
             wchunk = self._wchunk
-            interp2 = interp
 
-            def run(xb, bias):
+            def run(d, xb, bias):
                 # batched via per-vector kernel calls (static unroll); the
                 # A stream re-streams per vector — a dedicated batched
                 # windowed kernel is future work.
@@ -456,7 +459,7 @@ class SpmvHandle:
                     spmv_windowed_pallas(
                         d["data"], d["subidx"], d["meta"],
                         xb[b].reshape(-1, LANES), nrb, bh, wchunk,
-                        interpret=interp2,
+                        interpret=interp,
                     ).reshape(-1)[:R]
                     for b in range(xb.shape[0])
                 ]
@@ -464,10 +467,9 @@ class SpmvHandle:
                 return y if bias is None else y + bias[None, :]
 
         else:  # stream: vmap the single-vector path over the batch
+            plan = self._stream_plan_meta
 
-            def run(xb, bias):
-                d = self._d
-                plan = self._stream_plan_meta
+            def run(d, xb, bias):
                 y = jax.vmap(
                     lambda x: spmv_xla(
                         d["vals"], d["cols"], d["round_ids"], d["seg_rows"],
@@ -477,6 +479,13 @@ class SpmvHandle:
                 return y if bias is None else y + bias[None, :]
 
         return jax.jit(run)
+
+    def _batch_runner_args(self) -> dict:
+        if self.format == "dense":
+            return {"dense": self._dense}
+        if self.format == "block" and self._chunked:
+            return self._batch_d
+        return self._d
 
     def linear(self, x_batch, bias=None) -> jax.Array:
         """Batched ``y[B,R] = x[B,C] @ A.T + bias`` — the DNN-layer entry
@@ -490,7 +499,7 @@ class SpmvHandle:
         if B not in self._batch_runners:
             self._batch_runners[B] = self._make_batch_runner(B)
         bias = None if bias is None else jnp.asarray(bias, jnp.float32)
-        y = self._batch_runners[B](xb, bias)
+        y = self._batch_runners[B](self._batch_runner_args(), xb, bias)
         return y[0] if squeeze else y
 
     def verify(self, x=None, rtol=1e-3, atol=1e-5):

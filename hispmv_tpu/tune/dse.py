@@ -186,6 +186,8 @@ class DSE:
             nb = max(nb, -(-R // bh))
             if not self.model.fits(self.model.block_resident_bytes(nb, bh)):
                 continue
+            if self.model.block_resident_bytes(nb, bh) > 100 * max(nnz, 1):
+                continue  # >100 B/nnz: pathological plan (prep/upload blow-up)
             cands.append(
                 (f"block{bh}", self.model.block_seconds(nb, bh, R, C),
                  dataclasses.replace(base, block_h=bh))
@@ -218,6 +220,8 @@ class DSE:
                 self.model.window_resident_bytes(nb, bh)
             ):
                 continue
+            if self.model.window_resident_bytes(nb, bh) > 100 * max(nnz, 1):
+                continue  # >100 B/nnz: pathological plan
             cands.append(
                 (f"win{bh}", self.model.window_seconds(nb, bh, R, C),
                  dataclasses.replace(base, block_h=bh))

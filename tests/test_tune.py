@@ -64,14 +64,22 @@ def test_dse_picks_block_for_block_structured():
     assert res.format in ("block", "window"), res.candidates
 
 
-def test_dse_avoids_gather_stream_on_tpu():
-    # Measured on v5e: XLA's per-element gather runs ~0.1 Gnnz/s, so even a
-    # ~1%-fill block plan (400 B/nnz at ~700 GB/s ~ 1.7 Gnnz/s) beats the
-    # gather stream.  The DSE must therefore never pick "stream" on this
-    # profile, even for hypersparse matrices.
+def test_dse_hypersparse_guard():
+    # Hypersparse (~1 nnz per block): every block/window plan exceeds the
+    # 100 B/nnz pathology guard (their device bytes would dwarf the matrix),
+    # so the gather stream is the only admissible candidate.
     coo = random_coo(50_000, 1_000_000, 100_000, seed=5)
     res = DSE().explore(coo)
-    assert res.format == "block", res.candidates
+    assert res.format == "stream", res.candidates
+    assert all(not l.startswith(("block", "win")) for l, _ in res.candidates)
+
+
+def test_dse_prefers_blocks_over_stream_when_admissible():
+    # Structured: block plans are admissible and must beat the
+    # measured-catastrophic gather stream.
+    coo = blocked_coo(18_000, 18_000, 6_000_000, seed=5)
+    res = DSE().explore(coo)
+    assert res.format in ("block", "window"), res.candidates
     costs = dict(res.candidates)
     assert costs["stream"] > res.est_seconds
 
