@@ -77,6 +77,8 @@ def test_dse_hypersparse_guard():
 def test_dse_prefers_blocks_over_stream_when_admissible():
     # Structured: block plans are admissible and must beat the
     # measured-catastrophic gather stream.
+    from hispmv_tpu.formats.synth import blocked_coo
+
     coo = blocked_coo(18_000, 18_000, 6_000_000, seed=5)
     res = DSE().explore(coo)
     assert res.format in ("block", "window"), res.candidates
