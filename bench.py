@@ -62,6 +62,7 @@ U280_GFLOPS = {
 DEFAULT_SET = [
     ("TSOPF_RS_b2383", 1.0),
     ("nd6k", 1.0),
+    ("thread", 1.0),
     ("crystk03", 1.0),
     ("soc-Pokec", 0.15),
 ]
