@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hispmv_tpu.config import SpmvConfig
-from hispmv_tpu.formats.matrix import COOMatrix, coo_from_dense
+from hispmv_tpu.formats.matrix import COOMatrix
 from hispmv_tpu.ops.gemv import gemv_xla
 from hispmv_tpu.ops.spmv_block import (
     spmv_block_batched_pallas,

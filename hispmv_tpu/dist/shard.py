@@ -21,12 +21,12 @@ analog, spmv-helper.cpp:622-637).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from hispmv_tpu.formats.matrix import COOMatrix
 from hispmv_tpu.ops.spmv_block import spmv_block_pallas

@@ -24,7 +24,6 @@ planner resolves bank conflicts at prepare time instead of stalling hardware.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

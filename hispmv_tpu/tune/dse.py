@@ -32,7 +32,7 @@ import numpy as np
 
 from hispmv_tpu.config import SpmvConfig
 from hispmv_tpu.formats.matrix import COOMatrix
-from hispmv_tpu.plan.blocks import LANES, degree_column_perm
+from hispmv_tpu.plan.blocks import LANES
 from hispmv_tpu.plan.partition import derive_split_threshold
 from hispmv_tpu.tune.cost import CostModel, DeviceProfile, V5E
 

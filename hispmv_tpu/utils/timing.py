@@ -17,7 +17,6 @@ completion is forced by fetching a scalar checksum to the host.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Tuple
 
 import jax
