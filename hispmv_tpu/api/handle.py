@@ -44,6 +44,7 @@ from hispmv_tpu.ops.spmv_block import (
 from hispmv_tpu.ops.spmv_chunked import (
     chunk_for,
     pack_chunks,
+    spmv_chunked_batched_pallas,
     spmv_chunked_pallas,
 )
 from hispmv_tpu.ops.spmv_windowed import (
@@ -419,29 +420,46 @@ class SpmvHandle:
         elif fmt == "block":
             plan = self._block_plan_meta
             nrb = plan.num_row_blocks
-            if self._chunked and not hasattr(self, "_batch_d"):
-                # The batched MXU kernel wants per-block arrays; upload them
-                # lazily (kept separate from the chunked single-vector
-                # stream).
-                self._batch_d = {
-                    "data": jnp.asarray(plan.data),
-                    "rows": jnp.asarray(plan.block_rows),
-                    "cols": jnp.asarray(plan.block_cols),
-                    "firsts": jnp.asarray(plan.block_firsts),
-                    "lasts": jnp.asarray(plan.block_lasts),
-                }
+            bh = plan.block_h
+            # Batched chunked kernel when x[B]+y[B] still fit VMEM;
+            # otherwise the per-block batched kernel (no residency needs).
+            use_chunked_batch = self._chunked and (
+                (plan.num_col_blocks * LANES + nrb * bh) * batch * 4
+                + 2 * self._chunk * bh * LANES * 4
+                <= self._CHUNKED_VMEM_BUDGET
+            )
+            if not use_chunked_batch and not hasattr(self, "_batch_d"):
+                # per-block batched kernel wants per-block arrays; build
+                # them as CONCRETE device arrays even if linear() was called
+                # under an outer jit trace (else the uploads leak tracers)
+                with jax.ensure_compile_time_eval():
+                    self._batch_d = {
+                        "data": jnp.asarray(plan.data),
+                        "rows": jnp.asarray(plan.block_rows),
+                        "cols": jnp.asarray(plan.block_cols),
+                        "firsts": jnp.asarray(plan.block_firsts),
+                        "lasts": jnp.asarray(plan.block_lasts),
+                    }
                 if "perm" in self._d:
                     self._batch_d["perm"] = self._d["perm"]
+            self._use_chunked_batch = use_chunked_batch
+            chunk = self._chunk if self._chunked else None
 
             def run(d, xb, bias):
                 if "perm" in d:
                     xb = jnp.take(xb, d["perm"], axis=1)
                 # [B, Cp] -> [ncb, LANES, B]
                 xt = xb.T.reshape(-1, LANES, xb.shape[0])
-                y = spmv_block_batched_pallas(
-                    d["data"], d["rows"], d["cols"], d["firsts"],
-                    d["lasts"], xt, nrb, interpret=interp,
-                )  # [nrb, block_h, B]
+                if use_chunked_batch:
+                    y = spmv_chunked_batched_pallas(
+                        d["data"], d["meta"], xt, nrb, bh, chunk,
+                        interpret=interp,
+                    )  # [nrb, bh, B]
+                else:
+                    y = spmv_block_batched_pallas(
+                        d["data"], d["rows"], d["cols"], d["firsts"],
+                        d["lasts"], xt, nrb, interpret=interp,
+                    )  # [nrb, block_h, B]
                 y = y.reshape(-1, xb.shape[0])[:R].T  # [B, R]
                 return y if bias is None else y + bias[None, :]
 
@@ -483,7 +501,11 @@ class SpmvHandle:
     def _batch_runner_args(self) -> dict:
         if self.format == "dense":
             return {"dense": self._dense}
-        if self.format == "block" and self._chunked:
+        if (
+            self.format == "block"
+            and self._chunked
+            and not getattr(self, "_use_chunked_batch", False)
+        ):
             return self._batch_d
         return self._d
 
