@@ -464,24 +464,44 @@ class SpmvHandle:
                 return y if bias is None else y + bias[None, :]
 
         elif fmt == "window":
+            from hispmv_tpu.ops.spmv_windowed import (
+                pack_batch_x,
+                spmv_windowed_batched_pallas,
+            )
+
             plan = self._window_plan_meta
             nrb = plan.num_row_blocks
             bh = plan.block_h
             wchunk = self._wchunk
+            nwin = plan.num_windows
+            # wide-gather kernel: B<=64 (verified gather width) and
+            # x[B]+y[B] resident in VMEM
+            use_wide = batch <= 64 and (
+                (nwin * 8 * LANES + nrb * bh) * batch * 4
+                + 2 * wchunk * (bh + 1) * LANES * 4
+                <= self._CHUNKED_VMEM_BUDGET
+            )
 
             def run(d, xb, bias):
-                # batched via per-vector kernel calls (static unroll); the
-                # A stream re-streams per vector — a dedicated batched
-                # windowed kernel is future work.
-                ys = [
-                    spmv_windowed_pallas(
-                        d["data"], d["subidx"], d["meta"],
-                        xb[b].reshape(-1, LANES), nrb, bh, wchunk,
-                        interpret=interp,
-                    ).reshape(-1)[:R]
-                    for b in range(xb.shape[0])
-                ]
-                y = jnp.stack(ys)
+                if use_wide:
+                    xp = pack_batch_x(xb, nwin)
+                    y = spmv_windowed_batched_pallas(
+                        d["data"], d["subidx"], d["meta"], xp,
+                        nrb, bh, wchunk, interpret=interp,
+                    )  # [nrb, bh, B]
+                    y = y.reshape(-1, xb.shape[0])[:R].T
+                else:
+                    # fall back to per-vector kernel calls (A re-streamed
+                    # per vector)
+                    ys = [
+                        spmv_windowed_pallas(
+                            d["data"], d["subidx"], d["meta"],
+                            xb[b].reshape(-1, LANES), nrb, bh, wchunk,
+                            interpret=interp,
+                        ).reshape(-1)[:R]
+                        for b in range(xb.shape[0])
+                    ]
+                    y = jnp.stack(ys)
                 return y if bias is None else y + bias[None, :]
 
         else:  # stream: vmap the single-vector path over the batch

@@ -188,3 +188,140 @@ def spmv_windowed(
     if y_in is not None:
         y = y + beta * jnp.asarray(y_in, jnp.float32)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Batched windowed kernel: one wide sublane gather covers the whole batch.
+#
+# x is packed host-side as [nwin*SEGS, B*LANES] with value (s, b*LANES+j) =
+# x_b[s*LANES + j]; the per-block sub-index row broadcasts across the batch
+# (idx depends only on the lane j), so a single (SEGS, B*LANES) gather
+# fetches every batch vector's window column, followed by one MXU
+# contraction (bh,LANES)x(B,LANES)->(bh,B).  Wide axis-0 gathers verified
+# on hardware up to (8, 8192), i.e. B<=64.
+# ---------------------------------------------------------------------------
+
+
+def _windowed_batched_kernel(
+    a_ref,  # f32 [1, chunk*bh, LANES]
+    sub_ref,  # i32 [1, chunk, LANES]
+    meta_ref,  # i32 [1, 2, chunk] (SMEM)
+    x_ref,  # f32 [nwin*SEGS, B*LANES] packed batch x (VMEM)
+    y_ref,  # f32 [nrb, bh, B] (VMEM)
+    acc_ref,  # f32 [bh, B] scratch
+    *,
+    chunk: int,
+    bh: int,
+    batch: int,
+    unroll: int,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def do_block(j):
+        rb2 = meta_ref[0, 0, j]
+        wb = meta_ref[0, 1, j]
+
+        win = x_ref[pl.ds(wb * SEGS, SEGS), :]  # (SEGS, B*LANES)
+        sub = sub_ref[0, pl.ds(j, 1), :]  # (1, LANES)
+        idx = jnp.broadcast_to(
+            sub[:, None, :], (SEGS, batch, LANES)
+        ).reshape(SEGS, batch * LANES)
+        xg = jnp.take_along_axis(win, idx, axis=0)[0:1, :]
+        xg = xg.reshape(batch, LANES)  # (B, LANES)
+        ab = a_ref[0, pl.ds(j * bh, bh), :]  # (bh, LANES)
+        acc_ref[...] += jax.lax.dot_general(
+            ab, xg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+        @pl.when(rb2 & 1 == 1)
+        def _flush():
+            y_ref[pl.ds(rb2 >> 1, 1), :, :] = acc_ref[...][None]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    assert chunk % unroll == 0, (chunk, unroll)
+
+    def body(jo, _):
+        for k in range(unroll):
+            do_block(jo * unroll + k)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def spmv_windowed_batched_pallas(
+    data3d: jax.Array,  # f32 [nchunks, chunk*bh, LANES]
+    subidx3d: jax.Array,  # i32 [nchunks, chunk, LANES]
+    meta: jax.Array,  # i32 [nchunks, 2, chunk]
+    x_packed: jax.Array,  # f32 [nwin*SEGS, B*LANES]
+    num_row_blocks: int,
+    block_h: int,
+    chunk: int,
+    *,
+    unroll: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched windowed stream; returns y f32 [num_row_blocks, block_h, B]."""
+    nchunks = data3d.shape[0]
+    assert data3d.shape[1] == chunk * block_h
+    batch = x_packed.shape[1] // LANES
+    assert batch * LANES == x_packed.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk * block_h, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, chunk, LANES),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, chunk),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
+        ],
+        out_specs=pl.BlockSpec(
+            (num_row_blocks, block_h, batch),
+            lambda i: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_h, batch), jnp.float32)],
+    )
+
+    kernel = functools.partial(
+        _windowed_batched_kernel,
+        chunk=chunk, bh=block_h, batch=batch, unroll=unroll,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_row_blocks, block_h, batch), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * data3d.size * batch,
+            bytes_accessed=data3d.size * 4 + x_packed.size * 4,
+            transcendentals=0,
+        ),
+    )(data3d, subidx3d, meta, x_packed)
+
+
+def pack_batch_x(xb: jax.Array, num_windows: int) -> jax.Array:
+    """[B, Cp] -> [nwin*SEGS, B*LANES] layout for the batched kernel."""
+    B = xb.shape[0]
+    S = num_windows * SEGS
+    return (
+        xb.reshape(B, S, LANES).transpose(1, 0, 2).reshape(S, B * LANES)
+    )

@@ -97,3 +97,31 @@ def test_empty_matrix_window_plan():
     x = np.ones(200, np.float32)
     got = np.asarray(spmv_windowed(plan, x, chunk=8, interpret=True))
     np.testing.assert_allclose(got, np.zeros(16), atol=0)
+
+
+def test_windowed_batched_kernel_interpret():
+    from hispmv_tpu.ops.spmv_windowed import (
+        pack_batch_x,
+        pack_window_chunks,
+        spmv_windowed_batched_pallas,
+    )
+    from hispmv_tpu.plan.windows import SEGS, LANES
+    import jax.numpy as jnp
+
+    coo = CASES["powerlaw"]
+    plan = build_window_plan(coo, block_h=8)
+    d3, s3, meta, _ = pack_window_chunks(plan, 16)
+    B = 4
+    Cp = plan.num_windows * SEGS * LANES
+    xb = np.zeros((B, Cp), np.float32)
+    rng = np.random.default_rng(9)
+    xb[:, : coo.num_cols] = rng.standard_normal((B, coo.num_cols))
+    xp = pack_batch_x(jnp.asarray(xb), plan.num_windows)
+    y = spmv_windowed_batched_pallas(
+        jnp.asarray(d3), jnp.asarray(s3), jnp.asarray(meta), xp,
+        plan.num_row_blocks, 8, 16, interpret=True,
+    )
+    got = np.asarray(y).reshape(-1, B)[: coo.num_rows].T  # wrong? (nrb*bh, B)
+    got = np.asarray(y).reshape(plan.num_row_blocks * 8, B)[: coo.num_rows].T
+    want = (coo.to_scipy() @ xb[:, : coo.num_cols].astype(np.float64).T).T
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
