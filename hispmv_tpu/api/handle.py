@@ -44,7 +44,9 @@ from hispmv_tpu.ops.spmv_block import (
 from hispmv_tpu.ops.spmv_chunked import (
     chunk_for,
     pack_chunks,
+    pack_chunks_paneled,
     spmv_chunked_batched_pallas,
+    spmv_chunked_paneled_pallas,
     spmv_chunked_pallas,
 )
 from hispmv_tpu.ops.spmv_windowed import (
@@ -228,6 +230,18 @@ class SpmvHandle:
         chunk_bytes = 2 * chunk * plan.block_h * LANES * 4
         return xy + chunk_bytes <= self._CHUNKED_VMEM_BUDGET
 
+    # x panel width for the column-paneled kernel (4 MiB of x per panel)
+    _PANEL_NCB = 8192
+
+    def _block_fits_paneled(self, plan) -> bool:
+        chunk = chunk_for(plan.block_h)
+        need = (
+            plan.num_row_blocks * plan.block_h * 4  # y resident
+            + self._PANEL_NCB * LANES * 4 * 2  # x panel, double-buffered
+            + 2 * chunk * plan.block_h * LANES * 4
+        )
+        return need <= self._CHUNKED_VMEM_BUDGET
+
     def _prepare_block(self, coo: COOMatrix):
         cfg = self.config
         perm = None
@@ -238,12 +252,25 @@ class SpmvHandle:
         # padding so the runner can gather in one take().
         self._block_plan_meta = plan
         self._chunked = self._block_fits_chunked(plan)
+        self._paneled = (
+            not self._chunked and self._block_fits_paneled(plan)
+        )
         if self._chunked:
             self._chunk = chunk_for(plan.block_h)
             data3d, meta, _ = pack_chunks(plan, self._chunk)
             self._d = {
                 "data": jnp.asarray(data3d),
                 "meta": jnp.asarray(meta),
+            }
+        elif self._paneled:
+            self._chunk = chunk_for(plan.block_h)
+            data3d, meta, panel_ids, _ = pack_chunks_paneled(
+                plan, self._chunk, self._PANEL_NCB
+            )
+            self._d = {
+                "data": jnp.asarray(data3d),
+                "meta": jnp.asarray(meta),
+                "panels": jnp.asarray(panel_ids),
             }
         else:
             self._d = {
@@ -300,6 +327,10 @@ class SpmvHandle:
         if self.format == "dense":
             return int(self._dense.shape[1])
         if self.format == "block":
+            if getattr(self, "_paneled", False):
+                ncb = self._block_plan_meta.num_col_blocks
+                npanels = -(-ncb // self._PANEL_NCB)
+                return npanels * self._PANEL_NCB * LANES
             return self._block_plan_meta.num_col_blocks * LANES
         if self.format == "window":
             from hispmv_tpu.plan.windows import SEGS
@@ -338,8 +369,10 @@ class SpmvHandle:
             plan = self._block_plan_meta
             nrb = plan.num_row_blocks
             chunked = self._chunked
+            paneled = getattr(self, "_paneled", False)
             bh = plan.block_h
-            chunk = self._chunk if chunked else None
+            chunk = self._chunk if (chunked or paneled) else None
+            panel_ncb = self._PANEL_NCB
 
             def run(d, x, y_in, alpha, beta):
                 if "perm" in d:
@@ -348,6 +381,12 @@ class SpmvHandle:
                     y = spmv_chunked_pallas(
                         d["data"], d["meta"], x.reshape(-1, LANES),
                         nrb, bh, chunk, interpret=interp,
+                    )
+                elif paneled:
+                    y = spmv_chunked_paneled_pallas(
+                        d["data"], d["meta"], d["panels"],
+                        x.reshape(-1, LANES), nrb, bh, chunk, panel_ncb,
+                        interpret=interp,
                     )
                 else:
                     y = spmv_block_pallas(

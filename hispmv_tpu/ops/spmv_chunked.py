@@ -326,3 +326,176 @@ def spmv_chunked_batched_pallas(
             transcendentals=0,
         ),
     )(data3d, meta, x_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Column-paneled variant: matrices whose x (+y) exceed VMEM are processed
+# panel-by-panel — x is tiled into column panels DMA'd per chunk via a
+# scalar-prefetched index, y stays resident and accumulates across panels
+# (flushes ADD instead of assign).  This is the B_WINDOW column-tiling
+# analog (spmv-helper.cpp:242-263): the reference re-streams its BRAM
+# window once per row tile; here the Pallas pipeline re-stages the x panel
+# whenever the chunk sequence crosses a panel boundary.
+# ---------------------------------------------------------------------------
+
+
+def pack_chunks_paneled(
+    plan: BlockPlan, chunk: int, panel_ncb: int
+):
+    """Re-sort the block stream by (column panel, row_block) and pack into
+    chunks that never straddle a panel boundary.
+
+    Returns (data3d, meta, panel_ids, nchunks):
+      meta[:, 0] = row_block*2 + last_of_(panel,row_block)_run
+      meta[:, 1] = col_block LOCAL to the panel
+      panel_ids  = i32 [nchunks] panel index per chunk (scalar prefetch)
+    """
+    bh = plan.block_h
+    panel = plan.block_cols // panel_ncb
+    order = np.lexsort((plan.block_cols, plan.block_rows, panel))
+    data = plan.data[order]
+    rows = plan.block_rows[order]
+    cols_local = (plan.block_cols - panel * panel_ncb)[order]
+    panel = panel[order]
+
+    # last flag per (panel, row_block) run
+    run_key = panel.astype(np.int64) * (plan.num_row_blocks + 1) + rows
+    lasts = np.ones(len(rows), np.int32)
+    lasts[:-1] = (run_key[1:] != run_key[:-1]).astype(np.int32)
+
+    # split into per-panel segments, pad each to whole chunks
+    seg_data, seg_meta, seg_panel = [], [], []
+    for p in np.unique(panel):
+        sel = panel == p
+        n = int(sel.sum())
+        n_pad = -(-n // chunk) * chunk
+        d = np.zeros((n_pad, bh, LANES), np.float32)
+        d[:n] = data[sel]
+        m = np.zeros((2, n_pad), np.int32)
+        m[0, :n] = rows[sel] * 2 + lasts[sel]
+        m[1, :n] = cols_local[sel]
+        if n_pad > n:
+            m[0, n:] = rows[sel][-1] * 2  # pad: no flush, zero payload
+        seg_data.append(d)
+        seg_meta.append(m)
+        seg_panel.extend([int(p)] * (n_pad // chunk))
+    data = np.concatenate(seg_data) if seg_data else np.zeros(
+        (chunk, bh, LANES), np.float32
+    )
+    meta = (
+        np.concatenate(seg_meta, axis=1)
+        if seg_meta
+        else np.zeros((2, chunk), np.int32)
+    )
+    if not seg_panel:
+        seg_panel = [0]
+    nchunks = len(seg_panel)
+    data3d = data.reshape(nchunks, chunk * bh, LANES)
+    meta = np.ascontiguousarray(
+        meta.reshape(2, nchunks, chunk).transpose(1, 0, 2)
+    )
+    return data3d, meta, np.asarray(seg_panel, np.int32), nchunks
+
+
+def _chunked_paneled_kernel(
+    panel_ref,  # i32 [nchunks] scalar prefetch (also drives x index map)
+    a_ref,  # f32 [1, chunk*bh, LANES]
+    meta_ref,  # i32 [1, 2, chunk] (SMEM)
+    x_ref,  # f32 [panel_ncb, LANES] current x panel (VMEM, pipelined)
+    y_ref,  # f32 [nrb, bh] full y (VMEM, accumulates across panels)
+    acc_ref,  # f32 [bh, LANES] scratch
+    *,
+    chunk: int,
+    bh: int,
+    unroll: int,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    def do_block(j):
+        rb2 = meta_ref[0, 0, j]
+        cb = meta_ref[0, 1, j]  # panel-local
+        xs = x_ref[pl.ds(cb, 1), :]
+        ab = a_ref[0, pl.ds(j * bh, bh), :]
+        acc_ref[...] += ab * xs
+
+        @pl.when(rb2 & 1 == 1)
+        def _flush():
+            prev = y_ref[pl.ds(rb2 >> 1, 1), :]
+            y_ref[pl.ds(rb2 >> 1, 1), :] = prev + jnp.sum(
+                acc_ref[...], axis=1
+            )[None, :]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    assert chunk % unroll == 0, (chunk, unroll)
+
+    def body(jo, _):
+        for k in range(unroll):
+            do_block(jo * unroll + k)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def spmv_chunked_paneled_pallas(
+    data3d: jax.Array,  # f32 [nchunks, chunk*bh, LANES]
+    meta: jax.Array,  # i32 [nchunks, 2, chunk]
+    panel_ids: jax.Array,  # i32 [nchunks]
+    x_blocks: jax.Array,  # f32 [npanels*panel_ncb, LANES] (padded x)
+    num_row_blocks: int,
+    block_h: int,
+    chunk: int,
+    panel_ncb: int,
+    *,
+    unroll: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    nchunks = data3d.shape[0]
+    assert data3d.shape[1] == chunk * block_h
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk * block_h, LANES),
+                lambda i, panels: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, chunk),
+                lambda i, panels: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (panel_ncb, LANES),
+                lambda i, panels: (panels[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (num_row_blocks, block_h),
+            lambda i, panels: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_h, LANES), jnp.float32)],
+    )
+
+    kernel = functools.partial(
+        _chunked_paneled_kernel, chunk=chunk, bh=block_h, unroll=unroll
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_row_blocks, block_h), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * data3d.size,
+            bytes_accessed=data3d.size * 4 + x_blocks.size * 4,
+            transcendentals=0,
+        ),
+    )(panel_ids, data3d, meta, x_blocks)

@@ -163,3 +163,29 @@ def test_plan_serialization_roundtrip(tmp_path):
         assert h.nnz == coo.nnz and h.shape == coo.shape
         got = np.asarray(h.run(x))
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_paneled_handle_for_wide_matrix():
+    # force the paneled path with a tiny budget
+    coo = banded_coo(2000, 40_000, 200_000, seed=22)
+    h = SpmvHandle(coo, format="block")
+    h2 = SpmvHandle.__new__(SpmvHandle)  # unused; keep API simple
+    del h2
+    # patch budget to force paneling on a rebuilt handle
+    old = SpmvHandle._CHUNKED_VMEM_BUDGET
+    try:
+        SpmvHandle._CHUNKED_VMEM_BUDGET = 12 * 2**20
+        SpmvHandle._PANEL_NCB = 64  # tiny panels (8192 cols)
+        hp = SpmvHandle(coo, format="block")
+        assert getattr(hp, "_paneled", False) or hp._chunked
+        x = np.random.default_rng(23).standard_normal(40_000)
+        x = x.astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(hp.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4
+        )
+    finally:
+        SpmvHandle._CHUNKED_VMEM_BUDGET = old
+        SpmvHandle._PANEL_NCB = 8192

@@ -112,3 +112,61 @@ def test_empty_row_blocks_zeroed():
     got = np.asarray(spmv_block(plan, x, interpret=True))
     np.testing.assert_allclose(got, golden(coo, x), rtol=1e-3, atol=1e-6)
     assert np.all(got[8:56] == 0)
+
+
+def test_chunked_paneled_kernel_interpret():
+    import jax.numpy as jnp
+
+    from hispmv_tpu.ops.spmv_chunked import (
+        pack_chunks_paneled,
+        spmv_chunked_paneled_pallas,
+    )
+    from hispmv_tpu.plan.blocks import LANES, build_block_plan
+    from hispmv_tpu.formats.synth import powerlaw_coo
+
+    # matrix wide enough for several panels at panel_ncb=4
+    coo = powerlaw_coo(600, 3000, 25_000, seed=30)
+    plan = build_block_plan(coo, block_h=8)
+    panel_ncb = 4  # 512-column panels
+    data3d, meta, panel_ids, _ = pack_chunks_paneled(plan, 16, panel_ncb)
+    npanels = -(-plan.num_col_blocks // panel_ncb)
+    x = np.zeros(npanels * panel_ncb * LANES, np.float32)
+    rng = np.random.default_rng(31)
+    x[:3000] = rng.standard_normal(3000)
+    y = spmv_chunked_paneled_pallas(
+        jnp.asarray(data3d), jnp.asarray(meta), jnp.asarray(panel_ids),
+        jnp.asarray(x.reshape(-1, LANES)),
+        plan.num_row_blocks, 8, 16, panel_ncb, interpret=True,
+    )
+    got = np.asarray(y).reshape(-1)[:600]
+    want = coo.to_scipy() @ x[:3000].astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_paneled_matches_unpaneled():
+    import jax.numpy as jnp
+
+    from hispmv_tpu.ops.spmv_chunked import (
+        pack_chunks_paneled,
+        spmv_chunked,
+        spmv_chunked_paneled_pallas,
+    )
+    from hispmv_tpu.plan.blocks import LANES, build_block_plan
+    from hispmv_tpu.formats.synth import banded_coo
+
+    coo = banded_coo(500, 2600, 20_000, seed=32)
+    plan = build_block_plan(coo, block_h=8)
+    x = np.random.default_rng(33).standard_normal(2600).astype(np.float32)
+    y_ref = np.asarray(spmv_chunked(plan, x, chunk=16, interpret=True))
+    panel_ncb = 8
+    data3d, meta, panel_ids, _ = pack_chunks_paneled(plan, 16, panel_ncb)
+    npanels = -(-plan.num_col_blocks // panel_ncb)
+    xp = np.zeros(npanels * panel_ncb * LANES, np.float32)
+    xp[:2600] = x
+    y = spmv_chunked_paneled_pallas(
+        jnp.asarray(data3d), jnp.asarray(meta), jnp.asarray(panel_ids),
+        jnp.asarray(xp.reshape(-1, LANES)),
+        plan.num_row_blocks, 8, 16, panel_ncb, interpret=True,
+    )
+    got = np.asarray(y).reshape(-1)[:500]
+    np.testing.assert_allclose(got, y_ref, rtol=1e-4, atol=1e-5)
