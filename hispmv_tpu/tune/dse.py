@@ -257,12 +257,71 @@ class DSE:
         )
 
 
+def measure_candidates(
+    coo: COOMatrix, result: TuneResult, top: int = 2
+) -> TuneResult:
+    """Refine the model's choice by timing the top candidates on device.
+
+    Goes beyond the reference's model-only DSE (dse.py:48-88): each of the
+    ``top`` cheapest candidates is actually prepared and loop-slope timed;
+    the measured winner replaces the model's pick.  Costs one kernel
+    compile per candidate, so use with the cache for repeated workloads.
+    """
+    import jax.numpy as jnp
+
+    from hispmv_tpu.api.handle import SpmvHandle
+    from hispmv_tpu.utils.timing import bench_spmv
+
+    x0 = jnp.asarray(
+        np.linspace(-1.0, 1.0, coo.num_cols).astype(np.float32)
+    )
+    measured = []
+    seen_cfg = set()
+    for label, est in result.candidates[: max(top, 1)]:
+        if label == "dense":
+            fmt, cfg = "dense", result.config
+        elif label == "stream":
+            fmt, cfg = "stream", result.config
+        else:
+            bh = int("".join(c for c in label if c.isdigit()))
+            fmt = "window" if label.startswith("win") else "block"
+            cfg = dataclasses.replace(result.config, block_h=bh)
+        key = (fmt, cfg.block_h)
+        if key in seen_cfg:
+            continue
+        seen_cfg.add(key)
+        try:
+            h = SpmvHandle(coo, config=cfg, format=fmt)
+            t, _ = bench_spmv(lambda xx: h.run(xx), x0)
+            measured.append((label, t, fmt, cfg))
+        except Exception:
+            continue
+    if not measured:
+        return result
+    measured.sort(key=lambda m: m[1])
+    label, secs, fmt, cfg = measured[0]
+    flops = 2 * (coo.nnz + coo.shape[0])
+    return TuneResult(
+        format=fmt,
+        config=cfg,
+        est_seconds=secs,
+        est_gflops=flops / secs / 1e9,
+        candidates=[(lbl, s) for lbl, s, _, _ in measured]
+        + [(lbl, s) for lbl, s in result.candidates if lbl not in
+           {m[0] for m in measured}],
+    )
+
+
 def tune(
     coo: COOMatrix,
     cache_path: Optional[str] = None,
     profile: DeviceProfile = V5E,
+    measure: int = 0,
 ) -> TuneResult:
-    """DSE with a persistent JSON cache keyed by matrix fingerprint."""
+    """DSE with a persistent JSON cache keyed by matrix fingerprint.
+
+    ``measure > 1`` additionally times the top candidates on the device and
+    picks the measured winner (cached like model results)."""
     key = None
     if cache_path:
         # Key on the profile *values*, not just its name, so recalibrated
@@ -272,13 +331,15 @@ def tune(
         pfp = _h.sha256(
             repr(dataclasses.astuple(profile)).encode()
         ).hexdigest()[:8]
-        key = f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}"
+        key = f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}:m{measure}"
         if os.path.exists(cache_path):
             with open(cache_path) as f:
                 cache = json.load(f)
             if key in cache:
                 return TuneResult.from_json(cache[key])
     result = DSE(profile).explore(coo)
+    if measure > 1:
+        result = measure_candidates(coo, result, top=measure)
     if cache_path and key:
         cache = {}
         if os.path.exists(cache_path):

@@ -117,3 +117,14 @@ def test_fingerprint_distinguishes():
     b = random_coo(100, 100, 1000, seed=10)
     assert matrix_fingerprint(a) != matrix_fingerprint(b)
     assert matrix_fingerprint(a) == matrix_fingerprint(a)
+
+
+def test_measured_tune_cpu():
+    from hispmv_tpu.formats.synth import blocked_coo
+    from hispmv_tpu.tune.dse import tune
+
+    coo = blocked_coo(1000, 1000, 30_000, seed=30)
+    res = tune(coo, measure=2)
+    assert res.format in ("block", "window", "dense")
+    assert res.est_seconds > 0
+    assert len(res.candidates) >= 2
