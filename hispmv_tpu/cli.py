@@ -42,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alpha", type=float, default=1.0)
     p.add_argument("--beta", type=float, default=0.0)
     p.add_argument("--tune-cache", default=None, help="DSE cache JSON path")
+    p.add_argument(
+        "--measure", type=int, default=0,
+        help="with --format tune: time the top N candidates on device",
+    )
     p.add_argument("--metrics-csv", default=None, help="append metrics row")
     p.add_argument(
         "--no-bench", action="store_true", help="verify only, skip timing"
@@ -92,7 +96,7 @@ def main(argv=None) -> int:
     if fmt == "tune":
         from hispmv_tpu.tune import tune
 
-        res = tune(coo, cache_path=args.tune_cache)
+        res = tune(coo, cache_path=args.tune_cache, measure=args.measure)
         cfg, fmt, predicted = res.config, res.format, res.est_seconds
         print(
             f"[{name}] tuned -> {fmt} "

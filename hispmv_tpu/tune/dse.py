@@ -45,6 +45,8 @@ class TuneResult:
     est_gflops: float
     candidates: list  # [(label, est_seconds), ...] sorted best-first
 
+    measured: bool = False
+
     def to_json(self) -> dict:
         return {
             "format": self.format,
@@ -52,6 +54,7 @@ class TuneResult:
             "est_seconds": self.est_seconds,
             "est_gflops": self.est_gflops,
             "candidates": self.candidates,
+            "measured": self.measured,
         }
 
     @staticmethod
@@ -62,6 +65,7 @@ class TuneResult:
             est_seconds=d["est_seconds"],
             est_gflops=d["est_gflops"],
             candidates=[tuple(c) for c in d["candidates"]],
+            measured=d.get("measured", False),
         )
 
 
@@ -309,6 +313,7 @@ def measure_candidates(
         candidates=[(lbl, s) for lbl, s, _, _ in measured]
         + [(lbl, s) for lbl, s in result.candidates if lbl not in
            {m[0] for m in measured}],
+        measured=True,
     )
 
 
@@ -331,12 +336,16 @@ def tune(
         pfp = _h.sha256(
             repr(dataclasses.astuple(profile)).encode()
         ).hexdigest()[:8]
-        key = f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}:m{measure}"
+        key = f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}"
         if os.path.exists(cache_path):
             with open(cache_path) as f:
                 cache = json.load(f)
             if key in cache:
-                return TuneResult.from_json(cache[key])
+                cached = TuneResult.from_json(cache[key])
+                # measured entries serve everyone; model-only entries are
+                # re-run when the caller asks for measurement
+                if cached.measured or measure <= 1:
+                    return cached
     result = DSE(profile).explore(coo)
     if measure > 1:
         result = measure_candidates(coo, result, top=measure)
