@@ -20,9 +20,13 @@ search lives in hispmv_tpu.tune):
 
 - ``dense``  — the dense overlay: A stored as a padded dense array, GeMV on
   the MXU (BUILD_DENSE_OVERLAY analog, assets/base_functions.cpp:174-226).
-- ``block``  — block-ELL Pallas stream (hispmv_tpu.ops.spmv_block).
-- ``stream`` — lane-stream gather/segment-sum path (hispmv_tpu.ops.spmv_ref),
-  best for matrices too irregular to block.
+- ``block``  — chunked block-ELL Pallas stream (ops/spmv_chunked.py), with
+  column-paneled and per-block fallbacks by VMEM budget.
+- ``window`` — windowed block-ELL (ops/spmv_windowed.py): per-lane
+  sub-index gathering within 1024-column windows, for scattered matrices.
+- ``stream`` — lane-stream gather/segment-sum path (ops/spmv_ref.py); the
+  portable/debug path, and the only admissible format for hypersparse
+  matrices where any block payload would dwarf the data.
 """
 
 from __future__ import annotations
@@ -257,7 +261,9 @@ class SpmvHandle:
         )
         if self._chunked:
             self._chunk = chunk_for(plan.block_h)
-            data3d, meta, _ = pack_chunks(plan, self._chunk)
+            data3d, meta, _ = pack_chunks(
+                plan, self._chunk, dtype=cfg.value_dtype
+            )
             self._d = {
                 "data": jnp.asarray(data3d),
                 "meta": jnp.asarray(meta),
@@ -299,7 +305,9 @@ class SpmvHandle:
         plan = build_window_plan(coo, block_h=self.config.block_h)
         self._window_plan_meta = plan
         self._wchunk = chunk_for_windowed(plan.block_h)
-        data3d, subidx3d, meta, _ = pack_window_chunks(plan, self._wchunk)
+        data3d, subidx3d, meta, _ = pack_window_chunks(
+            plan, self._wchunk, dtype=self.config.value_dtype
+        )
         self._d = {
             "data": jnp.asarray(data3d),
             "subidx": jnp.asarray(subidx3d),

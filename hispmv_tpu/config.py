@@ -60,6 +60,7 @@ class SpmvConfig:
     block_h: int = 8
     col_reorder: bool = False
     min_block_fill: float = 0.125
+    value_dtype: str = "float32"  # "bfloat16" halves A bytes (fp32 accum)
 
     @property
     def num_pes(self) -> int:
@@ -82,5 +83,7 @@ def encode_config_name(cfg: SpmvConfig) -> str:
         parts.append("Dense")
     if cfg.dual_accumulate:
         parts.append("DA")  # dual-accumulate ~ the reference's "PA"
+    if cfg.value_dtype == "bfloat16":
+        parts.append("BF16")
     parts.append(f"SpMV-{cfg.num_pes}p-w{cfg.window}-d{cfg.depth}")
     return "-".join(parts)

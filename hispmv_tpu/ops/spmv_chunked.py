@@ -48,23 +48,31 @@ def chunk_for(block_h: int, target_bytes: int = 1 << 20) -> int:
     return int(min(512, (c // 8) * 8))
 
 
-def pack_chunks(plan: BlockPlan, chunk: int = DEFAULT_CHUNK):
+def pack_chunks(
+    plan: BlockPlan, chunk: int = DEFAULT_CHUNK, dtype=np.float32
+):
     """Pad the plan's block stream to a whole number of chunks and build the
     int32 metadata sideband.
 
     Returns (data3d, meta, nchunks):
-      data3d f32 [nchunks, chunk*block_h, LANES]
+      data3d [nchunks, chunk*block_h, LANES] in ``dtype`` (float32, or
+      bfloat16 to halve A-stream bytes in DMA-bound regimes — values only;
+      accumulation stays fp32 in the kernel)
       meta   i32 [nchunks, 2, chunk] with meta[:,0] = row_block*2 + last and
       meta[:,1] = col_block (two scalar reads per block in the kernel).
     Padding blocks: zero payload, last=0, row = last real row (they
     accumulate zeros into a dead accumulator and never flush)."""
+    import jax.numpy as _jnp
+
+    if dtype in ("bfloat16", _jnp.bfloat16):
+        dtype = _jnp.bfloat16
     nb = plan.num_blocks
     nchunks = max(-(-nb // chunk), 1)
     nb_pad = nchunks * chunk
     bh = plan.block_h
 
-    data = np.zeros((nb_pad, bh, LANES), np.float32)
-    data[:nb] = plan.data
+    data = np.zeros((nb_pad, bh, LANES), dtype)
+    data[:nb] = plan.data.astype(dtype)
     meta = np.zeros((2, nb_pad), np.int32)
     meta[0, :nb] = plan.block_rows * 2 + plan.block_lasts
     meta[1, :nb] = plan.block_cols
@@ -101,7 +109,8 @@ def _chunked_kernel(
         cb = meta_ref[0, 1, j]
 
         xs = x_ref[pl.ds(cb, 1), :]  # (1, LANES)
-        ab = a_ref[0, pl.ds(j * bh, bh), :]  # (bh, LANES)
+        # values may be bf16-compressed; multiply in fp32
+        ab = a_ref[0, pl.ds(j * bh, bh), :].astype(jnp.float32)
         acc_ref[...] += ab * xs
 
         @pl.when(rb2 & 1 == 1)

@@ -26,16 +26,21 @@ def chunk_for_windowed(block_h: int, target_bytes: int = 1 << 20) -> int:
     return int(min(512, (c // 8) * 8))
 
 
-def pack_window_chunks(plan: WindowPlan, chunk: int):
+def pack_window_chunks(plan: WindowPlan, chunk: int, dtype=np.float32):
     """Pad the stream to whole chunks; returns (data3d, subidx3d, meta,
-    nchunks) with meta[:,0]=row_block*2+last, meta[:,1]=window."""
+    nchunks) with meta[:,0]=row_block*2+last, meta[:,1]=window.  ``dtype``
+    may be bfloat16 to halve payload bytes (fp32 accumulation)."""
+    import jax.numpy as _jnp
+
+    if dtype in ("bfloat16", _jnp.bfloat16):
+        dtype = _jnp.bfloat16
     nb = plan.num_blocks
     nchunks = max(-(-nb // chunk), 1)
     nb_pad = nchunks * chunk
     bh = plan.block_h
 
-    data = np.zeros((nb_pad, bh, LANES), np.float32)
-    data[:nb] = plan.data
+    data = np.zeros((nb_pad, bh, LANES), dtype)
+    data[:nb] = plan.data.astype(dtype)
     subidx = np.zeros((nb_pad, LANES), np.int32)
     subidx[:nb] = plan.subidx
     meta = np.zeros((2, nb_pad), np.int32)
@@ -75,7 +80,7 @@ def _windowed_kernel(
         win = x_ref[pl.ds(wb * SEGS, SEGS), :]  # (8, LANES)
         idx = jnp.broadcast_to(sub_ref[0, pl.ds(j, 1), :], (SEGS, LANES))
         xg = jnp.take_along_axis(win, idx, axis=0)[0:1, :]  # (1, LANES)
-        ab = a_ref[0, pl.ds(j * bh, bh), :]
+        ab = a_ref[0, pl.ds(j * bh, bh), :].astype(jnp.float32)
         acc_ref[...] += ab * xg
 
         @pl.when(rb2 & 1 == 1)

@@ -95,6 +95,29 @@ class CostModel:
         t_step = num_blocks * (self.p.block_step_overhead_s + 4e-9)
         return max(t_dma, t_step) + self.p.launch_overhead_s
 
+    def block_seconds_bf16(
+        self, num_blocks: int, block_h: int, rows: int, cols: int
+    ) -> float:
+        """bf16-compressed payload: half the A bytes, same per-block cost."""
+        a_bytes = num_blocks * block_h * 128 * 2
+        xy_bytes = cols * 4 + rows * 4
+        t_dma = (a_bytes + xy_bytes) / (
+            self.p.hbm_gbps * 1e9 * self.p.block_dma_efficiency
+        )
+        t_step = num_blocks * self.p.block_step_overhead_s
+        return max(t_dma, t_step) + self.p.launch_overhead_s
+
+    def window_seconds_bf16(
+        self, num_blocks: int, block_h: int, rows: int, cols: int
+    ) -> float:
+        a_bytes = num_blocks * (block_h * 128 * 2 + 128 * 4)
+        xy_bytes = cols * 4 + rows * 4
+        t_dma = (a_bytes + xy_bytes) / (
+            self.p.hbm_gbps * 1e9 * self.p.block_dma_efficiency
+        )
+        t_step = num_blocks * (self.p.block_step_overhead_s + 4e-9)
+        return max(t_dma, t_step) + self.p.launch_overhead_s
+
     def window_resident_bytes(self, num_blocks: int, block_h: int) -> int:
         return num_blocks * ((block_h * 128 + 128) * 4 + 16)
 

@@ -4,10 +4,13 @@ The automation tool's DSE analog (automation_tool/src/dse.py:23-95).  The
 reference searched FPGA channel counts and crossbar options under a resource
 model; here the axes are:
 
-- format: dense overlay | block-ELL | gather stream,
-- block height: 8 / 16 / 32,
-- column reorder: off / degree-sorted,
+- format: dense overlay | block-ELL | windowed block-ELL | gather stream,
+- block height: 8 / 16 / 32 / 64,
 - (stream) long-row split threshold: planner default.
+
+``tune(measure=N)`` optionally builds and loop-slope-times the top N
+candidates on the device, picking the measured winner — one step beyond the
+reference's model-only selection.
 
 All candidates are costed WITHOUT building full plans: block counts come
 from unique-key counting over the coordinates, stream lengths from a
@@ -192,10 +195,17 @@ class DSE:
                 continue
             if self.model.block_resident_bytes(nb, bh) > 100 * max(nnz, 1):
                 continue  # >100 B/nnz: pathological plan (prep/upload blow-up)
+            t32 = self.model.block_seconds(nb, bh, R, C)
             cands.append(
-                (f"block{bh}", self.model.block_seconds(nb, bh, R, C),
-                 dataclasses.replace(base, block_h=bh))
+                (f"block{bh}", t32, dataclasses.replace(base, block_h=bh))
             )
+            t16 = self.model.block_seconds_bf16(nb, bh, R, C)
+            if t16 < t32 * 0.95:  # only when meaningfully DMA-bound
+                cands.append(
+                    (f"block{bh}-bf16", t16,
+                     dataclasses.replace(
+                         base, block_h=bh, value_dtype="bfloat16"))
+                )
 
         # Windowed block-ELL: same trick — one unique over slot keys at
         # block_h=8, larger heights derived from the unique-slot array.
@@ -226,10 +236,17 @@ class DSE:
                 continue
             if self.model.window_resident_bytes(nb, bh) > 100 * max(nnz, 1):
                 continue  # >100 B/nnz: pathological plan
+            t32 = self.model.window_seconds(nb, bh, R, C)
             cands.append(
-                (f"win{bh}", self.model.window_seconds(nb, bh, R, C),
-                 dataclasses.replace(base, block_h=bh))
+                (f"win{bh}", t32, dataclasses.replace(base, block_h=bh))
             )
+            t16 = self.model.window_seconds_bf16(nb, bh, R, C)
+            if t16 < t32 * 0.95:
+                cands.append(
+                    (f"win{bh}-bf16", t16,
+                     dataclasses.replace(
+                         base, block_h=bh, value_dtype="bfloat16"))
+                )
 
         # Gather stream.
         P = base.num_pes
@@ -276,9 +293,9 @@ def measure_candidates(
     from hispmv_tpu.api.handle import SpmvHandle
     from hispmv_tpu.utils.timing import bench_spmv
 
-    x0 = jnp.asarray(
-        np.linspace(-1.0, 1.0, coo.num_cols).astype(np.float32)
-    )
+    x0_host = np.linspace(-1.0, 1.0, coo.num_cols).astype(np.float32)
+    x0 = jnp.asarray(x0_host)
+    golden = coo.matvec(x0_host.astype(np.float64))
     measured = []
     seen_cfg = set()
     for label, est in result.candidates[: max(top, 1)]:
@@ -287,16 +304,29 @@ def measure_candidates(
         elif label == "stream":
             fmt, cfg = "stream", result.config
         else:
-            bh = int("".join(c for c in label if c.isdigit()))
-            fmt = "window" if label.startswith("win") else "block"
-            cfg = dataclasses.replace(result.config, block_h=bh)
-        key = (fmt, cfg.block_h)
+            bf16 = label.endswith("-bf16")
+            stem = label.replace("-bf16", "")
+            bh = int("".join(c for c in stem if c.isdigit()))
+            fmt = "window" if stem.startswith("win") else "block"
+            cfg = dataclasses.replace(
+                result.config, block_h=bh,
+                value_dtype="bfloat16" if bf16 else "float32",
+            )
+        key = (fmt, cfg.block_h, cfg.value_dtype)
         if key in seen_cfg:
             continue
         seen_cfg.add(key)
         try:
             h = SpmvHandle(coo, config=cfg, format=fmt)
-            t, _ = bench_spmv(lambda xx: h.run(xx), x0)
+            t, y = bench_spmv(lambda xx: h.run(xx), x0)
+            # accuracy guard (matters for bf16 payloads): candidates that
+            # break the rtol=1e-3 acceptance are discarded
+            if golden is not None:
+                bad = np.abs(np.asarray(y) - golden) > (
+                    1e-4 + 1e-3 * np.abs(golden)
+                )
+                if bad.any():
+                    continue
             measured.append((label, t, fmt, cfg))
         except Exception:
             continue

@@ -170,3 +170,27 @@ def test_paneled_matches_unpaneled():
     )
     got = np.asarray(y).reshape(-1)[:500]
     np.testing.assert_allclose(got, y_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_payload_chunked_interpret():
+    from hispmv_tpu.api.handle import SpmvHandle
+    from hispmv_tpu.config import SpmvConfig
+    from hispmv_tpu.formats.synth import blocked_coo
+
+    coo = blocked_coo(800, 800, 40_000, seed=50)
+    h = SpmvHandle(
+        coo, config=SpmvConfig(block_h=8, value_dtype="bfloat16"),
+        format="block",
+    )
+    assert h._chunked
+    x = np.random.default_rng(51).standard_normal(800).astype(np.float32)
+    got = np.asarray(h.run(x))
+    want = coo.to_scipy() @ x.astype(np.float64)
+    # bf16 values: ~0.4% relative error per product, ~0.03 absolute on
+    # O(1)-magnitude sums of ~50 products
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
+    # and fp32 stays tight
+    h32 = SpmvHandle(coo, config=SpmvConfig(block_h=8), format="block")
+    np.testing.assert_allclose(
+        np.asarray(h32.run(x)), want, rtol=1e-3, atol=1e-4
+    )
