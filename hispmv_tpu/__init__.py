@@ -32,3 +32,16 @@ Layer map (TPU-native, see SURVEY.md section 7):
 __version__ = "0.1.0"
 
 from hispmv_tpu.config import SpmvConfig, encode_config_name  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy top-level conveniences (importing api/tune pulls in jax).
+    if name in ("SpmvHandle", "Accelerator", "prepare"):
+        from hispmv_tpu import api
+
+        return getattr(api, name)
+    if name == "tune":
+        from hispmv_tpu.tune import tune as _tune
+
+        return _tune
+    raise AttributeError(name)
