@@ -59,11 +59,13 @@ U280_GFLOPS = {
 
 # Default benchmark set: one per structural family, full scale where the
 # VMEM-resident path allows, scaled otherwise (scale noted in output).
+# Cheapest prep/compile first: if the backend's compile service is slow, at
+# least the small matrices land before any budget/timeout cuts the run.
 DEFAULT_SET = [
-    ("TSOPF_RS_b2383", 1.0),
-    ("nd6k", 1.0),
-    ("thread", 1.0),
     ("crystk03", 1.0),
+    ("thread", 1.0),
+    ("nd6k", 1.0),
+    ("TSOPF_RS_b2383", 1.0),
     ("soc-Pokec", 0.15),
 ]
 
