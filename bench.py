@@ -66,6 +66,7 @@ DEFAULT_SET = [
     ("thread", 1.0),
     ("nd6k", 1.0),
     ("TSOPF_RS_b2383", 1.0),
+    ("crankseg_2", 1.0),
     ("soc-Pokec", 0.15),
 ]
 

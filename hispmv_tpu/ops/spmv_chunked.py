@@ -21,9 +21,9 @@ the stream must be consumed in BIG contiguous chunks:
   one dynamic-sublane y write.  All VPU, no MXU, fp32 exact.
 
 VMEM budget: x (padded_cols*4 B) + y (padded_rows*4 B) + 2 chunk buffers.
-Matrices whose x+y exceed the budget must be column/row-tiled by the
-planner (not yet implemented; the handle falls back to the per-block
-kernel).
+Matrices whose x exceeds the budget use the column-paneled variant at the
+bottom of this file; only y > VMEM still falls back to the per-block
+kernel (ops/spmv_block.py).
 """
 
 from __future__ import annotations
