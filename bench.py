@@ -153,13 +153,49 @@ def emit(results):
     )
 
 
+def _run_one_subprocess(name: str, scale: float, timeout_s: float):
+    """Run one matrix in a child process so a stalled backend compile can't
+    consume the whole budget; returns the result dict or None."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name,
+             str(scale)],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+            env=os.environ,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"[{name}] TIMED OUT after {timeout_s:.0f}s (skipped)")
+        return None
+    sys.stderr.write(proc.stderr)
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    log(f"[{name}] no result from child (rc={proc.returncode})")
+    return None
+
+
 def main():
     import signal
 
     from hispmv_tpu.utils.platform import honor_platform_env
 
     honor_platform_env()
-    names = sys.argv[1:]
+    argv = sys.argv[1:]
+    if argv[:1] == ["--one"]:
+        # child mode: one matrix, result dict as the JSON line
+        r = bench_matrix(argv[1], float(argv[2]))
+        print(json.dumps(r))
+        return
+
+    names = argv
     cases = [(n, 1.0) for n in names] if names else DEFAULT_SET
     results = []
     emitted = [False]
@@ -177,14 +213,17 @@ def main():
     signal.signal(signal.SIGINT, _finish)
 
     t_start = time.time()
+    per_matrix_cap = float(os.environ.get("HISPMV_BENCH_MATRIX_S", "280"))
     for name, scale in cases:
-        if results and time.time() - t_start > BUDGET_S:
+        remaining = BUDGET_S - (time.time() - t_start)
+        if results and remaining < 60:
             log(f"[{name}] SKIPPED (past {BUDGET_S:.0f}s budget)")
             continue
-        try:
-            results.append(bench_matrix(name, scale))
-        except Exception as e:  # keep the bench alive per matrix
-            log(f"[{name}] ERROR: {type(e).__name__}: {e}")
+        r = _run_one_subprocess(
+            name, scale, min(per_matrix_cap, max(remaining, 120))
+        )
+        if r is not None:
+            results.append(r)
     _finish()
 
 
