@@ -72,7 +72,7 @@ DEFAULT_SET = [
 
 # Stop starting new matrices past this wall-clock budget (driver runs have
 # a bounded window; remote compiles are minutes each).
-BUDGET_S = float(os.environ.get("HISPMV_BENCH_BUDGET_S", "420"))
+BUDGET_S = float(os.environ.get("HISPMV_BENCH_BUDGET_S", "500"))
 
 
 def log(*a):
@@ -214,16 +214,24 @@ def main():
 
     t_start = time.time()
     per_matrix_cap = float(os.environ.get("HISPMV_BENCH_MATRIX_S", "280"))
-    for name, scale in cases:
+    pending = list(cases)
+    attempts = {name: 0 for name, _ in cases}
+    while pending:
+        name, scale = pending.pop(0)
         remaining = BUDGET_S - (time.time() - t_start)
         if results and remaining < 60:
             log(f"[{name}] SKIPPED (past {BUDGET_S:.0f}s budget)")
             continue
+        attempts[name] += 1
         r = _run_one_subprocess(
             name, scale, min(per_matrix_cap, max(remaining, 120))
         )
         if r is not None:
             results.append(r)
+        elif attempts[name] < 2:
+            # backend compile stalls are per-request-random; one retry at
+            # the end of the queue often succeeds
+            pending.append((name, scale))
     _finish()
 
 
