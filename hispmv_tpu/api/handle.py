@@ -271,7 +271,7 @@ class SpmvHandle:
         elif self._paneled:
             self._chunk = chunk_for(plan.block_h)
             data3d, meta, panel_ids, _ = pack_chunks_paneled(
-                plan, self._chunk, self._PANEL_NCB
+                plan, self._chunk, self._PANEL_NCB, dtype=cfg.value_dtype
             )
             self._d = {
                 "data": jnp.asarray(data3d),

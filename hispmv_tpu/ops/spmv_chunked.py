@@ -349,7 +349,7 @@ def spmv_chunked_batched_pallas(
 
 
 def pack_chunks_paneled(
-    plan: BlockPlan, chunk: int, panel_ncb: int
+    plan: BlockPlan, chunk: int, panel_ncb: int, dtype=np.float32
 ):
     """Re-sort the block stream by (column panel, row_block) and pack into
     chunks that never straddle a panel boundary.
@@ -359,10 +359,14 @@ def pack_chunks_paneled(
       meta[:, 1] = col_block LOCAL to the panel
       panel_ids  = i32 [nchunks] panel index per chunk (scalar prefetch)
     """
+    import jax.numpy as _jnp
+
+    if dtype in ("bfloat16", _jnp.bfloat16):
+        dtype = _jnp.bfloat16
     bh = plan.block_h
     panel = plan.block_cols // panel_ncb
     order = np.lexsort((plan.block_cols, plan.block_rows, panel))
-    data = plan.data[order]
+    data = plan.data[order].astype(dtype)
     rows = plan.block_rows[order]
     cols_local = (plan.block_cols - panel * panel_ncb)[order]
     panel = panel[order]
@@ -378,7 +382,7 @@ def pack_chunks_paneled(
         sel = panel == p
         n = int(sel.sum())
         n_pad = -(-n // chunk) * chunk
-        d = np.zeros((n_pad, bh, LANES), np.float32)
+        d = np.zeros((n_pad, bh, LANES), dtype)
         d[:n] = data[sel]
         m = np.zeros((2, n_pad), np.int32)
         m[0, :n] = rows[sel] * 2 + lasts[sel]
@@ -389,7 +393,7 @@ def pack_chunks_paneled(
         seg_meta.append(m)
         seg_panel.extend([int(p)] * (n_pad // chunk))
     data = np.concatenate(seg_data) if seg_data else np.zeros(
-        (chunk, bh, LANES), np.float32
+        (chunk, bh, LANES), dtype
     )
     meta = (
         np.concatenate(seg_meta, axis=1)
@@ -427,7 +431,7 @@ def _chunked_paneled_kernel(
         rb2 = meta_ref[0, 0, j]
         cb = meta_ref[0, 1, j]  # panel-local
         xs = x_ref[pl.ds(cb, 1), :]
-        ab = a_ref[0, pl.ds(j * bh, bh), :]
+        ab = a_ref[0, pl.ds(j * bh, bh), :].astype(jnp.float32)
         acc_ref[...] += ab * xs
 
         @pl.when(rb2 & 1 == 1)
