@@ -194,3 +194,34 @@ def test_bf16_payload_chunked_interpret():
     np.testing.assert_allclose(
         np.asarray(h32.run(x)), want, rtol=1e-3, atol=1e-4
     )
+
+
+def test_paneled_bf16_interpret():
+    import jax.numpy as jnp
+
+    from hispmv_tpu.ops.spmv_chunked import (
+        pack_chunks_paneled,
+        spmv_chunked_paneled_pallas,
+    )
+    from hispmv_tpu.plan.blocks import LANES, build_block_plan
+    from hispmv_tpu.formats.synth import banded_coo
+
+    coo = banded_coo(300, 2600, 9000, seed=60)
+    plan = build_block_plan(coo, block_h=8)
+    panel_ncb = 8
+    data3d, meta, panel_ids, _ = pack_chunks_paneled(
+        plan, 16, panel_ncb, dtype="bfloat16"
+    )
+    assert str(data3d.dtype) == "bfloat16"
+    npanels = -(-plan.num_col_blocks // panel_ncb)
+    xp = np.zeros(npanels * panel_ncb * LANES, np.float32)
+    x = np.random.default_rng(61).standard_normal(2600).astype(np.float32)
+    xp[:2600] = x
+    y = spmv_chunked_paneled_pallas(
+        jnp.asarray(data3d), jnp.asarray(meta), jnp.asarray(panel_ids),
+        jnp.asarray(xp.reshape(-1, LANES)),
+        plan.num_row_blocks, 8, 16, panel_ncb, interpret=True,
+    )
+    got = np.asarray(y).reshape(-1)[:300]
+    want = coo.to_scipy() @ x.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
