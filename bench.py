@@ -100,9 +100,14 @@ def bench_matrix(name: str, scale: float) -> dict:
     x = np.random.default_rng(0).standard_normal(coo.num_cols)
     x = x.astype(np.float32)
     # One compiled executable serves both verification (the n=1 warm-up's
-    # captured y) and the loop-slope timing — remote compiles are minutes,
-    # so this halves per-matrix compile cost.
-    t, y = bench_spmv(lambda xx: handle.run(xx), jnp.asarray(x))
+    # captured y) and the loop-slope timing; the executable is serialized to
+    # disk so later runs (and the driver's) skip the backend compile.
+    os.makedirs("/tmp/hispmv_exec_cache", exist_ok=True)
+    cfg_tag = f"{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
+    exec_cache = f"/tmp/hispmv_exec_cache/{name}-{scale}-{cfg_tag}.pkl"
+    t, y = bench_spmv(
+        lambda xx: handle.run(xx), jnp.asarray(x), exec_cache=exec_cache
+    )
     stats = error_stats(y, coo.matvec(x.astype(np.float64)))
     if not stats.ok:
         log(f"[{name}] VERIFY FAILED max rel {stats.max_rel_error:.2e}")
