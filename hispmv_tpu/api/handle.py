@@ -72,6 +72,15 @@ def _use_interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
+def _extend_perm(col_perm: np.ndarray, num_cols: int, target: int) -> np.ndarray:
+    """Identity-extend a column permutation to ``target`` padded entries so
+    the runner can gather padded x in one take()."""
+    return np.concatenate(
+        [np.asarray(col_perm, np.int32),
+         np.arange(num_cols, target, dtype=np.int32)]
+    )
+
+
 @dataclasses.dataclass
 class PrepareStats:
     format: str
@@ -147,6 +156,7 @@ class SpmvHandle:
             )
             self._block_plan_meta = plan
             self._chunked = self._block_fits_chunked(plan)
+            self._paneled = False
             if self._chunked:
                 self._chunk = chunk_for(plan.block_h)
                 data3d, meta, _ = pack_chunks(plan, self._chunk)
@@ -162,6 +172,15 @@ class SpmvHandle:
                     "firsts": jnp.asarray(plan.block_firsts),
                     "lasts": jnp.asarray(plan.block_lasts),
                 }
+            if plan.col_perm is not None:
+                # Rebuild the identity-extended x permutation the runner
+                # consumes (same contract as _prepare_block); without it a
+                # reloaded column-reordered plan would silently compute with
+                # un-permuted x.
+                self._d["perm"] = jnp.asarray(
+                    _extend_perm(plan.col_perm, self.shape[1],
+                                 plan.num_col_blocks * LANES)
+                )
             self._fill = plan.fill
             fmt = "block"
         elif isinstance(plan, WindowPlan):
@@ -234,8 +253,10 @@ class SpmvHandle:
         chunk_bytes = 2 * chunk * plan.block_h * LANES * 4
         return xy + chunk_bytes <= self._CHUNKED_VMEM_BUDGET
 
-    # x panel width for the column-paneled kernel (4 MiB of x per panel)
-    _PANEL_NCB = 8192
+    # x panel width for the column-paneled kernel (2 MiB of x per panel;
+    # 4 MiB double-buffered — must leave budget room for resident y and the
+    # two chunk buffers, or the paneled path can never fire)
+    _PANEL_NCB = 4096
 
     def _block_fits_paneled(self, plan) -> bool:
         chunk = chunk_for(plan.block_h)
@@ -287,15 +308,16 @@ class SpmvHandle:
                 "lasts": jnp.asarray(plan.block_lasts),
             }
         if plan.col_perm is not None:
-            full = np.concatenate(
-                [
-                    plan.col_perm,
-                    np.arange(
-                        coo.num_cols, plan.num_col_blocks * LANES, dtype=np.int32
-                    ),
-                ]
+            # Extend to the FULL padded width (the paneled path pads x past
+            # num_col_blocks*LANES to a whole number of panels).
+            if self._paneled:
+                npanels = -(-plan.num_col_blocks // self._PANEL_NCB)
+                target = npanels * self._PANEL_NCB * LANES
+            else:
+                target = plan.num_col_blocks * LANES
+            self._d["perm"] = jnp.asarray(
+                _extend_perm(plan.col_perm, coo.num_cols, target)
             )
-            self._d["perm"] = jnp.asarray(full)
         self._fill = plan.fill
         self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
 
@@ -453,10 +475,15 @@ class SpmvHandle:
 
     def _make_batch_runner(self, batch: int):
         # Same explicit-argument rule as _make_runner (no closed-over plan
-        # arrays — they become lowered-module constants).
+        # arrays — they become lowered-module constants).  Returns
+        # ``(jitted_runner, args_dict)``: the argument set is chosen HERE,
+        # per batch size, because the chunked-batch kernel and the per-block
+        # fallback consume different plan arrays (a handle can serve both
+        # across different batch sizes).
         fmt = self.format
         interp = self.interpret
         R = self.shape[0]
+        args = self._d if fmt != "dense" else {"dense": self._dense}
         if fmt == "dense":
 
             def run(d, xb, bias):
@@ -475,21 +502,28 @@ class SpmvHandle:
                 + 2 * self._chunk * bh * LANES * 4
                 <= self._CHUNKED_VMEM_BUDGET
             )
-            if not use_chunked_batch and not hasattr(self, "_batch_d"):
+            if not use_chunked_batch:
                 # per-block batched kernel wants per-block arrays; build
                 # them as CONCRETE device arrays even if linear() was called
                 # under an outer jit trace (else the uploads leak tracers)
-                with jax.ensure_compile_time_eval():
-                    self._batch_d = {
-                        "data": jnp.asarray(plan.data),
-                        "rows": jnp.asarray(plan.block_rows),
-                        "cols": jnp.asarray(plan.block_cols),
-                        "firsts": jnp.asarray(plan.block_firsts),
-                        "lasts": jnp.asarray(plan.block_lasts),
-                    }
-                if "perm" in self._d:
-                    self._batch_d["perm"] = self._d["perm"]
-            self._use_chunked_batch = use_chunked_batch
+                if not hasattr(self, "_batch_d"):
+                    with jax.ensure_compile_time_eval():
+                        self._batch_d = {
+                            "data": jnp.asarray(plan.data),
+                            "rows": jnp.asarray(plan.block_rows),
+                            "cols": jnp.asarray(plan.block_cols),
+                            "firsts": jnp.asarray(plan.block_firsts),
+                            "lasts": jnp.asarray(plan.block_lasts),
+                        }
+                    if "perm" in self._d:
+                        with jax.ensure_compile_time_eval():
+                            self._batch_d["perm"] = jnp.asarray(
+                                _extend_perm(
+                                    plan.col_perm, self.shape[1],
+                                    plan.num_col_blocks * LANES,
+                                )
+                            )
+                args = self._batch_d
             chunk = self._chunk if self._chunked else None
 
             def run(d, xb, bias):
@@ -563,18 +597,7 @@ class SpmvHandle:
                 )(xb)
                 return y if bias is None else y + bias[None, :]
 
-        return jax.jit(run)
-
-    def _batch_runner_args(self) -> dict:
-        if self.format == "dense":
-            return {"dense": self._dense}
-        if (
-            self.format == "block"
-            and self._chunked
-            and not getattr(self, "_use_chunked_batch", False)
-        ):
-            return self._batch_d
-        return self._d
+        return jax.jit(run), args
 
     def linear(self, x_batch, bias=None) -> jax.Array:
         """Batched ``y[B,R] = x[B,C] @ A.T + bias`` — the DNN-layer entry
@@ -587,8 +610,9 @@ class SpmvHandle:
         B = int(xb.shape[0])
         if B not in self._batch_runners:
             self._batch_runners[B] = self._make_batch_runner(B)
+        runner, args = self._batch_runners[B]
         bias = None if bias is None else jnp.asarray(bias, jnp.float32)
-        y = self._batch_runners[B](self._batch_runner_args(), xb, bias)
+        y = runner(args, xb, bias)
         return y[0] if squeeze else y
 
     def verify(self, x=None, rtol=1e-3, atol=1e-5):

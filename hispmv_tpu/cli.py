@@ -116,16 +116,23 @@ def main(argv=None) -> int:
     # golden model on host (cpuSequential analog) with timing
     i = np.arange(coo.num_cols, dtype=np.float32)
     x = (i + 2.0) / (i + 1.0)  # spmv-host.cpp:17-23 deterministic vector
+    # deterministic bias so --beta participates in the run and the golden
+    j = np.arange(coo.num_rows, dtype=np.float32)
+    y_in = None if args.beta == 0.0 else ((j % 7) - 3.0) / (j + 1.0)
     t0 = time.perf_counter()
     want = coo.matvec(x.astype(np.float64))
     cpu_s = time.perf_counter() - t0
     cpu_gflops = 2 * (coo.nnz + coo.num_rows) / max(cpu_s, 1e-12) / 1e9
 
-    got = np.asarray(handle.run(x, alpha=args.alpha))
-    stats_alpha = args.alpha
+    got = np.asarray(
+        handle.run(x, y_in=y_in, alpha=args.alpha, beta=args.beta)
+    )
+    want = args.alpha * want
+    if y_in is not None:
+        want = want + args.beta * y_in.astype(np.float64)
     from hispmv_tpu.utils.errors import error_stats
 
-    stats = error_stats(got, stats_alpha * want)
+    stats = error_stats(got, want)
     print_error_stats(stats, name)
 
     kernel_s = float("nan")

@@ -27,9 +27,11 @@ _tried = False
 
 
 def _build() -> Optional[str]:
+    # Portable -O3 (no -march=native): the .so may be produced on one host
+    # and reused on another; ISA-specific codegen would SIGILL there.
     cxx = os.environ.get("CXX", "g++")
     cmd = [
-        cxx, "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
         _SRC, "-o", _SO,
     ]
     try:
@@ -41,6 +43,15 @@ def _build() -> Optional[str]:
         return None
 
 
+def _stale() -> bool:
+    """True when the source is newer than the built library (edits to the
+    .cpp must trigger a rebuild, not be silently ignored)."""
+    try:
+        return os.path.getmtime(_SRC) > os.path.getmtime(_SO)
+    except OSError:
+        return True
+
+
 def get_lib():
     """Load (building if needed) the native library, or None."""
     global _lib, _tried
@@ -50,7 +61,7 @@ def get_lib():
         _tried = True
         if os.environ.get("HISPMV_NO_NATIVE"):
             return None
-        path = _SO if os.path.exists(_SO) else _build()
+        path = _SO if (os.path.exists(_SO) and not _stale()) else _build()
         if path is None:
             return None
         try:

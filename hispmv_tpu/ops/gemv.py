@@ -4,8 +4,6 @@ The reference executes dense layers on the same kernel via a runtime
 ``DENSE_MODE`` flag (base_functions.cpp:174-226).  On TPU the idiomatic dense
 path is the MXU: matrices are stored padded to (8,128)-aligned tiles in
 device memory and multiplied with ``jnp.dot``; XLA fuses the axpby epilogue.
-A Pallas fused-GeMV kernel (ops/gemv_pallas.py) covers the latency-critical
-single-vector case.
 """
 
 from __future__ import annotations

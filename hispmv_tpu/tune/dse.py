@@ -260,7 +260,14 @@ class DSE:
         if not cands:
             raise RuntimeError("no candidate fits device memory")
         cands.sort(key=lambda c: c[1])
-        label, secs, cfg = cands[0]
+        # bf16 payloads round values to an 8-bit mantissa, which on general
+        # real-valued matrices violates the reference's rtol=1e-3 acceptance
+        # (general_test.py:106) — verified on hardware.  A bf16 candidate may
+        # only WIN through measure_candidates(), whose accuracy guard
+        # validates it against the golden result for this specific matrix;
+        # the model-only pick is always a full-precision format.
+        pickable = [c for c in cands if not c[0].endswith("-bf16")]
+        label, secs, cfg = pickable[0]
         if label == "dense":
             fmt = "dense"
         elif label == "stream":

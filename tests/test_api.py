@@ -188,4 +188,68 @@ def test_paneled_handle_for_wide_matrix():
         )
     finally:
         SpmvHandle._CHUNKED_VMEM_BUDGET = old
-        SpmvHandle._PANEL_NCB = 8192
+        SpmvHandle._PANEL_NCB = 4096
+
+
+def test_paneled_path_satisfiable_with_shipped_constants():
+    """The paneled dispatch must be reachable WITHOUT patching class
+    attributes: panel double-buffer + chunk buffers + a plausible resident y
+    must fit the shipped VMEM budget (ADVICE round-1, handle.py:240)."""
+    h = SpmvHandle.__new__(SpmvHandle)
+    h.config = SpmvConfig()
+
+    class FakePlan:
+        block_h = 8
+        num_row_blocks = 25_000  # 200k rows resident y = 0.8 MiB
+        num_col_blocks = 40_000  # 5.1M cols: x alone would blow VMEM
+
+    assert not h._block_fits_chunked(FakePlan())
+    assert h._block_fits_paneled(FakePlan())
+
+
+def test_from_plan_preserves_col_perm(tmp_path):
+    """Serialize/reload of a column-reordered plan must still permute x
+    (round-1 ADVICE high: from_plan dropped col_perm)."""
+    from hispmv_tpu.plan import load_plan, save_plan
+    from hispmv_tpu.plan.blocks import build_block_plan, degree_column_perm
+
+    coo = powerlaw_coo(600, 600, 12_000, seed=30)
+    perm = degree_column_perm(coo)
+    plan = build_block_plan(coo, block_h=8, col_perm=perm)
+    p = str(tmp_path / "perm_plan.npz")
+    save_plan(p, plan)
+    h = SpmvHandle.from_plan(load_plan(p))
+    assert "perm" in h._d
+    x = np.random.default_rng(31).standard_normal(600).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_linear_batch_size_alternation():
+    """Batch runners must be self-contained per batch size: after a batch
+    that picks a different kernel path, earlier sizes must still work
+    (round-1 ADVICE medium: shared _use_chunked_batch state)."""
+    coo = random_coo(256, 192, 6000, seed=32)
+    h = SpmvHandle(coo, format="block")
+    assert h._chunked
+    rng = np.random.default_rng(33)
+    want = coo.to_scipy()
+
+    def check(B):
+        xb = rng.standard_normal((B, 192)).astype(np.float32)
+        got = np.asarray(h.linear(xb))
+        np.testing.assert_allclose(
+            got, (want @ xb.astype(np.float64).T).T.astype(np.float32),
+            rtol=1e-3, atol=1e-4,
+        )
+
+    check(8)
+    # force the per-block fallback for a larger batch, then return to B=8
+    old = SpmvHandle._CHUNKED_VMEM_BUDGET
+    try:
+        SpmvHandle._CHUNKED_VMEM_BUDGET = 1  # any batch kernel won't "fit"
+        check(16)
+    finally:
+        SpmvHandle._CHUNKED_VMEM_BUDGET = old
+    check(8)

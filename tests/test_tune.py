@@ -128,3 +128,19 @@ def test_measured_tune_cpu():
     assert res.format in ("block", "window", "dense")
     assert res.est_seconds > 0
     assert len(res.candidates) >= 2
+
+
+def test_model_only_pick_is_never_bf16():
+    """bf16 violates the rtol=1e-3 acceptance on general real-valued data
+    (hardware-verified); only the measured path (accuracy-guarded) may pick
+    it.  Model-only DSE must return a full-precision config even when the
+    bf16 candidate is the cheapest."""
+    from hispmv_tpu.formats.synth import blocked_coo
+    from hispmv_tpu.tune.dse import DSE
+
+    # large blocked matrix: DMA-bound, so bf16 halves the estimate and
+    # tops the candidate list
+    coo = blocked_coo(20_000, 20_000, 4_000_000, seed=40)
+    res = DSE().explore(coo)
+    assert res.config.value_dtype == "float32"
+    assert any(lbl.endswith("-bf16") for lbl, _ in res.candidates)
