@@ -57,17 +57,33 @@ U280_GFLOPS = {
     "poli_large": 18.63,
 }
 
-# Default benchmark set: one per structural family, full scale where the
-# VMEM-resident path allows, scaled otherwise (scale noted in output).
-# Cheapest prep/compile first: if the backend's compile service is slow, at
-# least the small matrices land before any budget/timeout cuts the run.
+# Default benchmark set: the FULL reference suite (run_benchmarks.py:46-133
+# analog), every structural class included — the geomean must not silently
+# drop the hard matrices.  Cheapest prep/compile first: if the backend's
+# compile service is slow, at least the small matrices land before any
+# budget/timeout cuts the run; coverage (n_completed/n_total) is always
+# reported in the JSON line.
 DEFAULT_SET = [
+    ("poli_large", 1.0),
+    ("hangGlider_3", 1.0),
+    ("c-52", 1.0),
+    ("lowThrust_7", 1.0),
+    ("ford2", 1.0),
+    ("trans5", 1.0),
+    ("language", 1.0),
+    ("boyd2", 1.0),
     ("crystk03", 1.0),
+    ("analytics", 1.0),
+    ("nxp1", 1.0),
+    ("ASIC_680k", 1.0),
     ("thread", 1.0),
     ("nd6k", 1.0),
-    ("TSOPF_RS_b2383", 1.0),
     ("crankseg_2", 1.0),
-    ("soc-Pokec", 0.15),
+    ("Si41Ge41H72", 1.0),
+    ("TSOPF_RS_b2383", 1.0),
+    ("mouse_gene", 1.0),
+    ("soc-Pokec", 1.0),
+    ("PFlow_742", 1.0),
 ]
 
 # Stop starting new matrices past this wall-clock budget (driver runs have
@@ -128,11 +144,14 @@ def bench_matrix(name: str, scale: float) -> dict:
     }
 
 
-def emit(results):
-    """Print the one-line JSON for whatever completed."""
+def emit(results, cases=None):
+    """Print the one-line JSON for whatever completed, with coverage."""
+    cases = DEFAULT_SET if cases is None else cases
+    n_total = len(cases)
     if not results:
         print(json.dumps({"metric": "spmv_gflops_geomean", "value": 0.0,
-                          "unit": "GFLOP/s", "vs_baseline": 0.0}))
+                          "unit": "GFLOP/s", "vs_baseline": 0.0,
+                          "n_completed": 0, "n_total": n_total}))
         return
     geo = math.exp(
         sum(math.log(max(r["gflops"], 1e-9)) for r in results) / len(results)
@@ -145,17 +164,25 @@ def emit(results):
         / len(results)
     )
     ok = all(r["verify_ok"] for r in results)
-    log(f"geomean={geo:.1f} GFLOP/s vs_baseline={vs:.2f}x verified={ok}")
-    print(
-        json.dumps(
-            {
-                "metric": "spmv_gflops_geomean_suite",
-                "value": round(geo, 2),
-                "unit": "GFLOP/s",
-                "vs_baseline": round(vs, 3),
-            }
-        )
+    done = {r["name"] for r in results}
+    log(
+        f"geomean={geo:.1f} GFLOP/s vs_baseline={vs:.2f}x verified={ok} "
+        f"coverage={len(results)}/{n_total}"
     )
+    payload = {
+        "metric": "spmv_gflops_geomean_suite",
+        "value": round(geo, 2),
+        "unit": "GFLOP/s",
+        "vs_baseline": round(vs, 3),
+        "n_completed": len(results),
+        "n_total": n_total,
+        "per_matrix": {
+            r["name"]: [round(r["gflops"], 2), r["ref_gflops"]]
+            for r in results
+        },
+        "skipped": [n for n, _ in cases if n not in done][:20],
+    }
+    print(json.dumps(payload))
 
 
 def _run_one_subprocess(name: str, scale: float, timeout_s: float):
@@ -208,7 +235,7 @@ def main():
     def _finish(signum=None, frame=None):
         if not emitted[0]:
             emitted[0] = True
-            emit(results)
+            emit(results, cases)
         if signum is not None:
             sys.stdout.flush()
             os._exit(0)

@@ -49,9 +49,11 @@ from hispmv_tpu.ops.spmv_chunked import (
     chunk_for,
     pack_chunks,
     pack_chunks_paneled,
+    pack_chunks_tiled,
     spmv_chunked_batched_pallas,
     spmv_chunked_paneled_pallas,
     spmv_chunked_pallas,
+    spmv_chunked_tiled_pallas,
 )
 from hispmv_tpu.ops.spmv_windowed import (
     chunk_for_windowed,
@@ -154,34 +156,9 @@ class SpmvHandle:
             self.config = dataclasses.replace(
                 self.config, block_h=plan.block_h
             )
-            self._block_plan_meta = plan
-            self._chunked = self._block_fits_chunked(plan)
-            self._paneled = False
-            if self._chunked:
-                self._chunk = chunk_for(plan.block_h)
-                data3d, meta, _ = pack_chunks(plan, self._chunk)
-                self._d = {
-                    "data": jnp.asarray(data3d),
-                    "meta": jnp.asarray(meta),
-                }
-            else:
-                self._d = {
-                    "data": jnp.asarray(plan.data),
-                    "rows": jnp.asarray(plan.block_rows),
-                    "cols": jnp.asarray(plan.block_cols),
-                    "firsts": jnp.asarray(plan.block_firsts),
-                    "lasts": jnp.asarray(plan.block_lasts),
-                }
-            if plan.col_perm is not None:
-                # Rebuild the identity-extended x permutation the runner
-                # consumes (same contract as _prepare_block); without it a
-                # reloaded column-reordered plan would silently compute with
-                # un-permuted x.
-                self._d["perm"] = jnp.asarray(
-                    _extend_perm(plan.col_perm, self.shape[1],
-                                 plan.num_col_blocks * LANES)
-                )
-            self._fill = plan.fill
+            # Same dispatch + perm rebuild as _prepare_block: a reloaded
+            # column-reordered plan must still permute x.
+            self._build_block_arrays(plan, self.shape[1])
             fmt = "block"
         elif isinstance(plan, WindowPlan):
             self.config = dataclasses.replace(
@@ -267,19 +244,32 @@ class SpmvHandle:
         )
         return need <= self._CHUNKED_VMEM_BUDGET
 
+    # y-panel height in bytes for the fully-tiled kernel (1 MiB panels,
+    # double-buffered by the output pipeline)
+    _PANEL_Y_BYTES = 1 << 20
+
+    def _panel_nrb(self, block_h: int) -> int:
+        return max(self._PANEL_Y_BYTES // (block_h * 4), 8)
+
     def _prepare_block(self, coo: COOMatrix):
         cfg = self.config
         perm = None
         if cfg.col_reorder:
             perm = degree_column_perm(coo)
         plan = build_block_plan(coo, block_h=cfg.block_h, col_perm=perm)
-        # Keep a second, identity-extended permutation covering column
-        # padding so the runner can gather in one take().
+        self._build_block_arrays(plan, coo.num_cols)
+
+    def _build_block_arrays(self, plan, num_cols: int):
+        """Dispatch a BlockPlan to chunked / x-paneled / fully-tiled arrays
+        by VMEM budget, build the device dict (+ identity-extended x
+        permutation when the plan is column-reordered)."""
+        cfg = self.config
         self._block_plan_meta = plan
         self._chunked = self._block_fits_chunked(plan)
         self._paneled = (
             not self._chunked and self._block_fits_paneled(plan)
         )
+        self._tiled = not self._chunked and not self._paneled
         if self._chunked:
             self._chunk = chunk_for(plan.block_h)
             data3d, meta, _ = pack_chunks(
@@ -300,23 +290,30 @@ class SpmvHandle:
                 "panels": jnp.asarray(panel_ids),
             }
         else:
+            # x AND y exceed VMEM: fully-tiled kernel (row-tiling analog,
+            # spmv-helper.cpp:139-263) — both vectors panel-streamed.
+            self._chunk = chunk_for(plan.block_h)
+            data3d, meta, xp, yp, yf, _ = pack_chunks_tiled(
+                plan, self._chunk, self._PANEL_NCB,
+                self._panel_nrb(plan.block_h), dtype=cfg.value_dtype,
+            )
             self._d = {
-                "data": jnp.asarray(plan.data),
-                "rows": jnp.asarray(plan.block_rows),
-                "cols": jnp.asarray(plan.block_cols),
-                "firsts": jnp.asarray(plan.block_firsts),
-                "lasts": jnp.asarray(plan.block_lasts),
+                "data": jnp.asarray(data3d),
+                "meta": jnp.asarray(meta),
+                "xpanels": jnp.asarray(xp),
+                "ypanels": jnp.asarray(yp),
+                "yfirst": jnp.asarray(yf),
             }
         if plan.col_perm is not None:
-            # Extend to the FULL padded width (the paneled path pads x past
-            # num_col_blocks*LANES to a whole number of panels).
-            if self._paneled:
+            # Extend to the FULL padded width (the paneled/tiled paths pad x
+            # past num_col_blocks*LANES to a whole number of panels).
+            if self._paneled or self._tiled:
                 npanels = -(-plan.num_col_blocks // self._PANEL_NCB)
                 target = npanels * self._PANEL_NCB * LANES
             else:
                 target = plan.num_col_blocks * LANES
             self._d["perm"] = jnp.asarray(
-                _extend_perm(plan.col_perm, coo.num_cols, target)
+                _extend_perm(plan.col_perm, num_cols, target)
             )
         self._fill = plan.fill
         self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
@@ -357,7 +354,9 @@ class SpmvHandle:
         if self.format == "dense":
             return int(self._dense.shape[1])
         if self.format == "block":
-            if getattr(self, "_paneled", False):
+            if getattr(self, "_paneled", False) or getattr(
+                self, "_tiled", False
+            ):
                 ncb = self._block_plan_meta.num_col_blocks
                 npanels = -(-ncb // self._PANEL_NCB)
                 return npanels * self._PANEL_NCB * LANES
@@ -400,9 +399,12 @@ class SpmvHandle:
             nrb = plan.num_row_blocks
             chunked = self._chunked
             paneled = getattr(self, "_paneled", False)
+            tiled = getattr(self, "_tiled", False)
             bh = plan.block_h
-            chunk = self._chunk if (chunked or paneled) else None
+            chunk = self._chunk if (chunked or paneled or tiled) else None
             panel_ncb = self._PANEL_NCB
+            panel_nrb = self._panel_nrb(bh)
+            npy = -(-nrb // panel_nrb)
 
             def run(d, x, y_in, alpha, beta):
                 if "perm" in d:
@@ -416,6 +418,13 @@ class SpmvHandle:
                     y = spmv_chunked_paneled_pallas(
                         d["data"], d["meta"], d["panels"],
                         x.reshape(-1, LANES), nrb, bh, chunk, panel_ncb,
+                        interpret=interp,
+                    )
+                elif tiled:
+                    y = spmv_chunked_tiled_pallas(
+                        d["data"], d["meta"], d["xpanels"], d["ypanels"],
+                        d["yfirst"], x.reshape(-1, LANES),
+                        npy, panel_nrb, bh, chunk, panel_ncb,
                         interpret=interp,
                     )
                 else:

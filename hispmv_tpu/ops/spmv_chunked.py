@@ -345,6 +345,10 @@ def spmv_chunked_batched_pallas(
 # analog (spmv-helper.cpp:242-263): the reference re-streams its BRAM
 # window once per row tile; here the Pallas pipeline re-stages the x panel
 # whenever the chunk sequence crosses a panel boundary.
+#
+# The fully-tiled (x panels x y panels) variant for matrices whose y ALSO
+# exceeds VMEM is at the bottom of this file (spmv_chunked_tiled_pallas) —
+# the row-tiling analog (MAX_ROWS_PER_PE, spmv-helper.cpp:139-263).
 # ---------------------------------------------------------------------------
 
 
@@ -512,3 +516,215 @@ def spmv_chunked_paneled_pallas(
             transcendentals=0,
         ),
     )(panel_ids, data3d, meta, x_blocks)
+
+
+# ---------------------------------------------------------------------------
+# Fully-tiled variant: x AND y both exceed VMEM.  Blocks are sorted by
+# (row_panel, col_panel, row_block) so each y panel is visited exactly once
+# (all its column panels consecutively) and never revisited — the row-tile
+# scheduling contract of the reference (tileAndPad row tiles,
+# spmv-helper.cpp:139-263).  x panels are re-staged per row panel (the
+# MM2S_B re-read-per-row-tile analog, base_functions.cpp:33-54); the y
+# panel rides an output index map and is zeroed at its first chunk.
+# ---------------------------------------------------------------------------
+
+
+def pack_chunks_tiled(
+    plan: BlockPlan,
+    chunk: int,
+    panel_ncb: int,
+    panel_nrb: int,
+    dtype=np.float32,
+):
+    """Re-sort the block stream by (row_panel, col_panel, row_block) and
+    pack into chunks that never straddle a (row_panel, col_panel) boundary.
+
+    Returns (data3d, meta, xpanel_ids, ypanel_ids, yfirst, nchunks):
+      meta[:, 0] = local_row_block*2 + last_of_(rp,cp,row_block)_run
+      meta[:, 1] = col_block LOCAL to the column panel
+      xpanel_ids i32 [nchunks] column-panel per chunk (scalar prefetch)
+      ypanel_ids i32 [nchunks] row-panel per chunk (scalar prefetch)
+      yfirst     i32 [nchunks] 1 on the first chunk of each row panel
+    """
+    import jax.numpy as _jnp
+
+    if dtype in ("bfloat16", _jnp.bfloat16):
+        dtype = _jnp.bfloat16
+    bh = plan.block_h
+    cpanel = plan.block_cols // panel_ncb
+    rpanel = plan.block_rows // panel_nrb
+    order = np.lexsort(
+        (plan.block_cols, plan.block_rows, cpanel, rpanel)
+    )
+    data = plan.data[order].astype(dtype)
+    rows_local = (plan.block_rows - rpanel * panel_nrb)[order]
+    cols_local = (plan.block_cols - cpanel * panel_ncb)[order]
+    cpanel = cpanel[order]
+    rpanel = rpanel[order]
+
+    # last flag per (rpanel, cpanel, row_block) run
+    ncp = int(cpanel.max()) + 1 if len(cpanel) else 1
+    run_key = (
+        rpanel.astype(np.int64) * ncp + cpanel
+    ) * (panel_nrb + 1) + rows_local
+    lasts = np.ones(len(rows_local), np.int32)
+    lasts[:-1] = (run_key[1:] != run_key[:-1]).astype(np.int32)
+
+    # split into per-(rpanel, cpanel) segments, pad each to whole chunks
+    seg_key = rpanel.astype(np.int64) * ncp + cpanel
+    seg_data, seg_meta, seg_xp, seg_yp = [], [], [], []
+    for k in np.unique(seg_key):
+        sel = seg_key == k
+        n = int(sel.sum())
+        n_pad = -(-n // chunk) * chunk
+        d = np.zeros((n_pad, bh, LANES), dtype)
+        d[:n] = data[sel]
+        m = np.zeros((2, n_pad), np.int32)
+        m[0, :n] = rows_local[sel] * 2 + lasts[sel]
+        m[1, :n] = cols_local[sel]
+        if n_pad > n:
+            m[0, n:] = rows_local[sel][-1] * 2  # pad: no flush, zero payload
+        seg_data.append(d)
+        seg_meta.append(m)
+        seg_xp.extend([int(k % ncp)] * (n_pad // chunk))
+        seg_yp.extend([int(k // ncp)] * (n_pad // chunk))
+    if not seg_data:
+        seg_data = [np.zeros((chunk, bh, LANES), dtype)]
+        seg_meta = [np.zeros((2, chunk), np.int32)]
+        seg_xp, seg_yp = [0], [0]
+    data = np.concatenate(seg_data)
+    meta = np.concatenate(seg_meta, axis=1)
+    nchunks = len(seg_xp)
+    data3d = data.reshape(nchunks, chunk * bh, LANES)
+    meta = np.ascontiguousarray(
+        meta.reshape(2, nchunks, chunk).transpose(1, 0, 2)
+    )
+    ypanel_ids = np.asarray(seg_yp, np.int32)
+    yfirst = np.ones(nchunks, np.int32)
+    yfirst[1:] = (ypanel_ids[1:] != ypanel_ids[:-1]).astype(np.int32)
+    return (
+        data3d,
+        meta,
+        np.asarray(seg_xp, np.int32),
+        ypanel_ids,
+        yfirst,
+        nchunks,
+    )
+
+
+def _chunked_tiled_kernel(
+    xp_ref,  # i32 [nchunks] scalar prefetch: column panel per chunk
+    yp_ref,  # i32 [nchunks] scalar prefetch: row panel per chunk
+    yfirst_ref,  # i32 [nchunks] 1 = first chunk of a row panel
+    a_ref,  # [1, chunk*bh, LANES]
+    meta_ref,  # i32 [1, 2, chunk] (SMEM)
+    x_ref,  # f32 [panel_ncb, LANES] current x panel (VMEM, pipelined)
+    y_ref,  # f32 [panel_nrb, bh] current y panel (VMEM, output index map)
+    acc_ref,  # f32 [bh, LANES] scratch
+    *,
+    chunk: int,
+    bh: int,
+    unroll: int,
+):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero_acc():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(yfirst_ref[i] == 1)
+    def _zero_panel():
+        # fresh output buffer for this row panel: contents undefined
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    def do_block(j):
+        rb2 = meta_ref[0, 0, j]
+        cb = meta_ref[0, 1, j]  # panel-local
+        xs = x_ref[pl.ds(cb, 1), :]
+        ab = a_ref[0, pl.ds(j * bh, bh), :].astype(jnp.float32)
+        acc_ref[...] += ab * xs
+
+        @pl.when(rb2 & 1 == 1)
+        def _flush():
+            prev = y_ref[pl.ds(rb2 >> 1, 1), :]
+            y_ref[pl.ds(rb2 >> 1, 1), :] = prev + jnp.sum(
+                acc_ref[...], axis=1
+            )[None, :]
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    assert chunk % unroll == 0, (chunk, unroll)
+
+    def body(jo, _):
+        for k in range(unroll):
+            do_block(jo * unroll + k)
+        return 0
+
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+
+
+def spmv_chunked_tiled_pallas(
+    data3d: jax.Array,  # [nchunks, chunk*bh, LANES]
+    meta: jax.Array,  # i32 [nchunks, 2, chunk]
+    xpanel_ids: jax.Array,  # i32 [nchunks]
+    ypanel_ids: jax.Array,  # i32 [nchunks]
+    yfirst: jax.Array,  # i32 [nchunks]
+    x_blocks: jax.Array,  # f32 [npanels_x*panel_ncb, LANES] (padded x)
+    num_row_panels: int,
+    panel_nrb: int,
+    block_h: int,
+    chunk: int,
+    panel_ncb: int,
+    *,
+    unroll: int = 8,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fully-tiled chunked stream; returns y f32
+    [num_row_panels*panel_nrb, block_h]."""
+    nchunks = data3d.shape[0]
+    assert data3d.shape[1] == chunk * block_h
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, chunk * block_h, LANES),
+                lambda i, xp, yp, yf: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2, chunk),
+                lambda i, xp, yp, yf: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (panel_ncb, LANES),
+                lambda i, xp, yp, yf: (xp[i], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (panel_nrb, block_h),
+            lambda i, xp, yp, yf: (yp[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((block_h, LANES), jnp.float32)],
+    )
+
+    kernel = functools.partial(
+        _chunked_tiled_kernel, chunk=chunk, bh=block_h, unroll=unroll
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (num_row_panels * panel_nrb, block_h), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * data3d.size,
+            bytes_accessed=data3d.size * data3d.dtype.itemsize
+            + x_blocks.size * 4,
+            transcendentals=0,
+        ),
+    )(xpanel_ids, ypanel_ids, yfirst, data3d, meta, x_blocks)

@@ -253,3 +253,27 @@ def test_linear_batch_size_alternation():
     finally:
         SpmvHandle._CHUNKED_VMEM_BUDGET = old
     check(8)
+
+
+def test_tiled_handle_for_huge_matrix():
+    """x AND y past the VMEM budget must dispatch to the fully-tiled
+    kernel (row-tiling analog), not the slow per-block kernel."""
+    coo = banded_coo(30_000, 30_000, 120_000, seed=50)
+    old_b = SpmvHandle._CHUNKED_VMEM_BUDGET
+    old_p = SpmvHandle._PANEL_NCB
+    old_y = SpmvHandle._PANEL_Y_BYTES
+    try:
+        SpmvHandle._CHUNKED_VMEM_BUDGET = 64 * 1024
+        SpmvHandle._PANEL_NCB = 16
+        SpmvHandle._PANEL_Y_BYTES = 8 * 1024
+        h = SpmvHandle(coo, format="block")
+        assert getattr(h, "_tiled", False)
+        x = np.random.default_rng(51).standard_normal(30_000)
+        x = x.astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4
+        )
+    finally:
+        SpmvHandle._CHUNKED_VMEM_BUDGET = old_b
+        SpmvHandle._PANEL_NCB = old_p
+        SpmvHandle._PANEL_Y_BYTES = old_y

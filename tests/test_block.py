@@ -225,3 +225,73 @@ def test_paneled_bf16_interpret():
     got = np.asarray(y).reshape(-1)[:300]
     want = coo.to_scipy() @ x.astype(np.float64)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=6e-2)
+
+
+def _tiled_golden_check(coo, panel_ncb, panel_nrb, bh=8, chunk=16, dtype=np.float32):
+    import jax.numpy as jnp
+
+    from hispmv_tpu.ops.spmv_chunked import (
+        pack_chunks_tiled,
+        spmv_chunked_tiled_pallas,
+    )
+    from hispmv_tpu.plan.blocks import build_block_plan
+
+    plan = build_block_plan(coo, block_h=bh)
+    d3, meta, xp, yp, yf, _ = pack_chunks_tiled(
+        plan, chunk, panel_ncb, panel_nrb, dtype=dtype
+    )
+    npx = -(-plan.num_col_blocks // panel_ncb)
+    npy = -(-plan.num_row_blocks // panel_nrb)
+    x = np.random.default_rng(7).standard_normal(coo.shape[1])
+    x = x.astype(np.float32)
+    xpad = np.zeros(npx * panel_ncb * 128, np.float32)
+    xpad[: coo.shape[1]] = x
+    y = spmv_chunked_tiled_pallas(
+        jnp.asarray(d3), jnp.asarray(meta), jnp.asarray(xp),
+        jnp.asarray(yp), jnp.asarray(yf),
+        jnp.asarray(xpad).reshape(-1, 128),
+        npy, panel_nrb, bh, chunk, panel_ncb, interpret=True,
+    )
+    got = np.asarray(y).reshape(-1)[: coo.shape[0]]
+    want = coo.to_scipy() @ x.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_chunked_tiled_kernel_interpret():
+    from hispmv_tpu.formats.synth import banded_coo
+
+    coo = banded_coo(3000, 9000, 60_000, seed=40)
+    _tiled_golden_check(coo, panel_ncb=16, panel_nrb=64)
+
+
+def test_chunked_tiled_matches_resident():
+    """Tiled result must equal the resident chunked kernel bit-for-bit
+    modulo accumulation order (rtol)."""
+    from hispmv_tpu.formats.synth import random_coo
+
+    coo = random_coo(1500, 5000, 40_000, seed=41)
+    _tiled_golden_check(coo, panel_ncb=8, panel_nrb=32)
+
+
+def test_chunked_tiled_bf16_interpret():
+    from hispmv_tpu.formats.synth import blocked_coo
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    coo = blocked_coo(2000, 4000, 50_000, seed=42)
+    v = np.round(
+        np.random.default_rng(43).uniform(-4, 4, coo.nnz)
+    ).astype(np.float32)
+    v[v == 0] = 1.0
+    coo = COOMatrix(coo.shape, coo.rows, coo.cols, v)
+    _tiled_golden_check(coo, panel_ncb=8, panel_nrb=64, dtype="bfloat16")
+
+
+def test_chunked_tiled_empty_row_panels():
+    """Row panels whose rows are all empty must still emit zeros."""
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    rows = np.array([0, 1, 900, 901], np.int64)
+    cols = np.array([5, 700, 3, 1400], np.int64)
+    vals = np.ones(4, np.float32)
+    coo = COOMatrix((1000, 1500), rows, cols, vals)
+    _tiled_golden_check(coo, panel_ncb=4, panel_nrb=16)
