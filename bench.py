@@ -121,9 +121,14 @@ def bench_matrix(name: str, scale: float) -> dict:
     os.makedirs("/tmp/hispmv_exec_cache", exist_ok=True)
     cfg_tag = f"{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
     exec_cache = f"/tmp/hispmv_exec_cache/{name}-{scale}-{cfg_tag}.pkl"
+    # Plan arrays ride as explicit jit args (closure capture would ship
+    # them as constants to the remote compile service).
+    fn, args = handle.explicit_runner()
+    xp = jnp.asarray(handle._pad_x(jnp.asarray(x)))
     t, y = bench_spmv(
-        lambda xx: handle.run(xx), jnp.asarray(x), exec_cache=exec_cache
+        fn, xp, exec_cache=exec_cache, kernel_args=args
     )
+    y = np.asarray(y)
     stats = error_stats(y, coo.matvec(x.astype(np.float64)))
     if not stats.ok:
         log(f"[{name}] VERIFY FAILED max rel {stats.max_rel_error:.2e}")

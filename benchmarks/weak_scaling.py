@@ -7,6 +7,10 @@ single-chip environment it runs on the virtual CPU mesh, which validates
 sharding/collectives and reports *balance* (the planner-controlled part of
 scaling) while marking timing as not-hardware.
 
+Timing uses the loop-slope method (utils/timing.py) — per-call wall clock
+through a relayed backend (or a contended CPU mesh) is meaningless; the
+round-1 version of this file violated the repo's own timing doctrine.
+
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python benchmarks/weak_scaling.py --devices 1 2 4 8
 """
@@ -14,7 +18,6 @@ scaling) while marking timing as not-hardware.
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,18 +29,22 @@ def main():
 
     honor_platform_env()
     import jax
+    import jax.numpy as jnp
 
-    from hispmv_tpu.dist import (
-        build_sharded_window_plan,
+    from hispmv_tpu.dist.shard import (
+        build_sharded_chunked_plan,
         make_mesh,
-        spmv_sharded_window,
+        spmv_sharded_chunked,
     )
     from hispmv_tpu.formats.synth import blocked_coo
+    from hispmv_tpu.utils.timing import measure_loop_time
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--nnz-per-device", type=int, default=500_000)
-    ap.add_argument("--x-mode", default="gather")
+    ap.add_argument(
+        "--x-mode", default="ring", choices=["ring", "replicated"]
+    )
     args = ap.parse_args()
 
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -56,30 +63,34 @@ def main():
         rows = 4096 * d
         coo = blocked_coo(rows, rows, args.nnz_per_device * d, seed=d)
         mesh = make_mesh(d)
-        sp = build_sharded_window_plan(coo, num_devices=d)
+        sp = build_sharded_chunked_plan(coo, num_devices=d)
         x = np.random.default_rng(0).standard_normal(rows).astype(np.float32)
 
-        def run():
-            return spmv_sharded_window(
-                sp, x, mesh, x_mode=args.x_mode, interpret=interpret
+        def kernel(xx, sp=sp, mesh=mesh):
+            return spmv_sharded_chunked(
+                sp, xx, mesh, x_mode=args.x_mode, interpret=interpret
             )
 
-        y = np.asarray(run())  # compile + warm
+        y = np.asarray(kernel(jnp.asarray(x)))  # compile + warm + verify
         want = coo.to_scipy() @ x.astype(np.float64)
         ok = np.allclose(y, want, rtol=1e-3, atol=1e-4)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            y = run()
-        import jax as _j
 
-        _j.block_until_ready(y)
-        t = (time.perf_counter() - t0) / 3
+        def step(carry, kernel=kernel):
+            xx, acc = carry
+            yy = kernel(xx)
+            dep = yy.ravel()[:1].astype(xx.dtype) * 1e-30
+            return (xx + dep, acc + dep[0])
+
+        t = measure_loop_time(
+            step, (jnp.asarray(x), jnp.zeros((), jnp.float32))
+        )
         if base_t is None:
             base_t = t
         eff = base_t / t  # weak scaling: ideal keeps t constant
         print(
             f"D={d}: nnz={coo.nnz} balance={sp.balance:.2f} ok={ok} "
-            f"t={t*1e3:.1f}ms weak_eff={eff:.2f}"
+            f"t={t*1e3:.2f}ms weak_eff={eff:.2f} "
+            f"bytes/dev={sp.data5.nbytes // d}"
         )
 
 

@@ -21,12 +21,17 @@ search lives in hispmv_tpu.tune):
 - ``dense``  — the dense overlay: A stored as a padded dense array, GeMV on
   the MXU (BUILD_DENSE_OVERLAY analog, assets/base_functions.cpp:174-226).
 - ``block``  — chunked block-ELL Pallas stream (ops/spmv_chunked.py), with
-  column-paneled and per-block fallbacks by VMEM budget.
+  column-paneled and fully-tiled (x+y panel) variants by VMEM budget.
+- ``ellx``   — scalar-free pure-XLA base-K ELL + Pallas overflow
+  (ops/spmv_ellx.py); the irregular-matrix engine (block_h=1 gives
+  row-granular units).
+- ``split``  — hub-hybrid (plan/split.py): dense hub rows/columns on the
+  MXU + ELLX body — the HI-crossbar load-balance analog for power-law
+  and arrowhead matrices.
 - ``window`` — windowed block-ELL (ops/spmv_windowed.py): per-lane
   sub-index gathering within 1024-column windows, for scattered matrices.
 - ``stream`` — lane-stream gather/segment-sum path (ops/spmv_ref.py); the
-  portable/debug path, and the only admissible format for hypersparse
-  matrices where any block payload would dwarf the data.
+  portable/debug path (kept for CPU parity testing).
 """
 
 from __future__ import annotations
@@ -54,6 +59,11 @@ from hispmv_tpu.ops.spmv_chunked import (
     spmv_chunked_paneled_pallas,
     spmv_chunked_pallas,
     spmv_chunked_tiled_pallas,
+)
+from hispmv_tpu.ops.spmv_ellx import (
+    build_ellx_plan,
+    ellx_matvec,
+    ellx_matvec_batched,
 )
 from hispmv_tpu.ops.spmv_windowed import (
     chunk_for_windowed,
@@ -119,6 +129,10 @@ class SpmvHandle:
                 self._from_dense_array(matrix.to_dense())
             elif fmt == "block":
                 self._prepare_block(matrix)
+            elif fmt == "ellx":
+                self._prepare_ellx(matrix)
+            elif fmt == "split":
+                self._prepare_split(matrix)
             elif fmt == "window":
                 self._prepare_window(matrix)
             elif fmt == "stream":
@@ -143,8 +157,10 @@ class SpmvHandle:
         """Build a handle directly from a prepared (possibly deserialized)
         plan, skipping preprocessing — the load-resident-matrix analog
         (fpga_handle.cpp:189-206 + plan/serialize.py)."""
+        from hispmv_tpu.ops.spmv_ellx import EllxPlan
         from hispmv_tpu.plan.blocks import BlockPlan
         from hispmv_tpu.plan.partition import StreamPlan
+        from hispmv_tpu.plan.split import SplitPlan
         from hispmv_tpu.plan.windows import WindowPlan
 
         self = cls.__new__(cls)
@@ -152,7 +168,19 @@ class SpmvHandle:
         self.coo = None
         self.shape = tuple(plan.shape)
         self.nnz = plan.nnz
-        if isinstance(plan, BlockPlan):
+        if isinstance(plan, EllxPlan):
+            self.config = dataclasses.replace(
+                self.config, block_h=plan.block_h
+            )
+            self._build_ellx_arrays(plan, self.shape[1])
+            fmt = "ellx"
+        elif isinstance(plan, SplitPlan):
+            self.config = dataclasses.replace(
+                self.config, block_h=plan.block_h
+            )
+            self._build_split_arrays(plan)
+            fmt = "split"
+        elif isinstance(plan, BlockPlan):
             self.config = dataclasses.replace(
                 self.config, block_h=plan.block_h
             )
@@ -318,6 +346,86 @@ class SpmvHandle:
         self._fill = plan.fill
         self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
 
+    def _prepare_ellx(self, coo: COOMatrix):
+        """Scalar-free pure-XLA ELL executor (ops/spmv_ellx.py): base-K
+        dense slots + Pallas overflow for heavy rows.  The production path
+        for irregular matrices; block_h=1 gives row-granular units."""
+        cfg = self.config
+        perm = None
+        if cfg.col_reorder:
+            perm = degree_column_perm(coo)
+        plan = build_block_plan(coo, block_h=cfg.block_h, col_perm=perm)
+        self._build_ellx_arrays(build_ellx_plan(plan), coo.num_cols)
+
+    def _build_ellx_arrays(self, eplan, num_cols: int):
+        cfg = self.config
+        self._ellx_plan_meta = eplan
+        dt = jnp.bfloat16 if cfg.value_dtype == "bfloat16" else jnp.float32
+        self._d = {
+            "base_data": jnp.asarray(eplan.base_data, dt),
+            "base_cols": jnp.asarray(eplan.base_cols),
+        }
+        if eplan.overflow is not None:
+            self._chunk = chunk_for(eplan.block_h)
+            odata, ometa, _ = pack_chunks(
+                eplan.overflow, self._chunk, dtype=cfg.value_dtype
+            )
+            self._d["odata"] = jnp.asarray(odata)
+            self._d["ometa"] = jnp.asarray(ometa)
+            self._d["ov_expand"] = jnp.asarray(eplan.ov_expand)
+        else:
+            self._chunk = None
+        if eplan.col_perm is not None:
+            self._d["perm"] = jnp.asarray(
+                _extend_perm(
+                    eplan.col_perm, num_cols,
+                    eplan.num_col_blocks * LANES,
+                )
+            )
+        self._fill = eplan.fill
+        self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
+
+    def _prepare_split(self, coo: COOMatrix):
+        """Hub-split hybrid (plan/split.py): dense hub columns/rows on the
+        MXU + ELLX body — the load-balance (HI crossbar) analog."""
+        from hispmv_tpu.plan.split import build_split_plan
+
+        self._build_split_arrays(
+            build_split_plan(coo, block_h=self.config.block_h)
+        )
+
+    def _build_split_arrays(self, plan):
+        cfg = self.config
+        self._split_plan_meta = plan
+        dt = jnp.bfloat16 if cfg.value_dtype == "bfloat16" else jnp.float32
+        d = {}
+        if plan.hub_col_dense is not None:
+            d["hc"] = jnp.asarray(plan.hub_col_dense, dt)
+            d["hc_idx"] = jnp.asarray(plan.hub_col_idx)
+        if plan.hub_row_dense is not None:
+            d["hr"] = jnp.asarray(plan.hub_row_dense, dt)
+            d["hr_idx"] = jnp.asarray(plan.hub_row_idx)
+        if plan.body is not None:
+            eplan = plan.body
+            d["base_data"] = jnp.asarray(eplan.base_data, dt)
+            d["base_cols"] = jnp.asarray(eplan.base_cols)
+            if eplan.overflow is not None:
+                self._chunk = chunk_for(eplan.block_h)
+                odata, ometa, _ = pack_chunks(
+                    eplan.overflow, self._chunk, dtype=cfg.value_dtype
+                )
+                d["odata"] = jnp.asarray(odata)
+                d["ometa"] = jnp.asarray(ometa)
+                d["ov_expand"] = jnp.asarray(eplan.ov_expand)
+            else:
+                self._chunk = None
+        else:
+            self._chunk = None
+        self._d = d
+        tot_slots = plan.device_bytes / 4.0
+        self._fill = plan.nnz / max(tot_slots, 1.0)
+        self.device_bytes = sum(int(v.nbytes) for v in d.values())
+
     def _prepare_window(self, coo: COOMatrix):
         from hispmv_tpu.plan.windows import build_window_plan
 
@@ -361,6 +469,10 @@ class SpmvHandle:
                 npanels = -(-ncb // self._PANEL_NCB)
                 return npanels * self._PANEL_NCB * LANES
             return self._block_plan_meta.num_col_blocks * LANES
+        if self.format == "ellx":
+            return self._ellx_plan_meta.num_col_blocks * LANES
+        if self.format == "split":
+            return -(-self.shape[1] // LANES) * LANES
         if self.format == "window":
             from hispmv_tpu.plan.windows import SEGS
 
@@ -436,6 +548,75 @@ class SpmvHandle:
                 y = alpha * y.reshape(-1)[:R]
                 return y if y_in is None else y + beta * y_in
 
+        elif fmt == "ellx":
+            eplan = self._ellx_plan_meta
+            nrb = eplan.num_row_blocks
+            bh = eplan.block_h
+            chunk = self._chunk
+            ov_nrb = (
+                eplan.overflow.num_row_blocks
+                if eplan.overflow is not None else 0
+            )
+
+            def run(d, x, y_in, alpha, beta):
+                if "perm" in d:
+                    x = jnp.take(x, d["perm"], axis=0)
+                y = ellx_matvec(
+                    d, x.reshape(-1, LANES), nrb, bh, chunk, ov_nrb,
+                    interpret=interp,
+                )
+                y = alpha * y.reshape(-1)[:R]
+                return y if y_in is None else y + beta * y_in
+
+        elif fmt == "split":
+            splan = self._split_plan_meta
+            body = splan.body
+            bh = splan.block_h
+            chunk = self._chunk
+            nrb = body.num_row_blocks if body is not None else 0
+            ov_nrb = (
+                body.overflow.num_row_blocks
+                if body is not None and body.overflow is not None else 0
+            )
+            kc = (
+                len(splan.hub_col_idx)
+                if splan.hub_col_idx is not None else 0
+            )
+            kc_pad = (
+                splan.hub_col_dense.shape[1]
+                if splan.hub_col_dense is not None else 0
+            )
+            kr = (
+                len(splan.hub_row_idx)
+                if splan.hub_row_idx is not None else 0
+            )
+
+            def run(d, x, y_in, alpha, beta):
+                if "base_data" in d:
+                    y = ellx_matvec(
+                        d, x.reshape(-1, LANES), nrb, bh, chunk, ov_nrb,
+                        interpret=interp,
+                    ).reshape(-1)[:R]
+                else:
+                    y = jnp.zeros((R,), jnp.float32)
+                if "hc" in d:
+                    xh = jnp.take(x, d["hc_idx"], axis=0)
+                    xh = jnp.pad(xh, (0, kc_pad - kc))
+                    y = y + jnp.dot(
+                        d["hc"].astype(jnp.float32), xh,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )[:R]
+                if "hr" in d:
+                    yr = jnp.dot(
+                        d["hr"].astype(jnp.float32), x,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )[:kr]
+                    y = y.at[d["hr_idx"]].add(yr)
+                y = alpha * y
+                return y if y_in is None else y + beta * y_in
+
         elif fmt == "window":
             plan = self._window_plan_meta
             nrb = plan.num_row_blocks
@@ -468,6 +649,21 @@ class SpmvHandle:
         if self.format == "dense":
             return {"dense": self._dense}
         return self._d
+
+    def explicit_runner(self):
+        """``(fn, args)`` where ``fn(args, x_padded) -> y`` with plan
+        arrays as EXPLICIT arguments — for external timing harnesses that
+        wrap the runner in another jit (closure capture would ship the plan
+        as lowered-module constants; observed as multi-GB remote-compile
+        requests)."""
+        if self._runner is None:
+            self._runner = self._make_runner()
+        runner = self._runner
+
+        def fn(d, x):
+            return runner(d, x, None, jnp.float32(1.0), jnp.float32(0.0))
+
+        return fn, self._runner_args()
 
     def run(self, x, y_in=None, alpha=1.0, beta=0.0) -> jax.Array:
         """``y = alpha * A @ x + beta * y_in`` (single vector)."""
@@ -553,6 +749,75 @@ class SpmvHandle:
                 y = y.reshape(-1, xb.shape[0])[:R].T  # [B, R]
                 return y if bias is None else y + bias[None, :]
 
+        elif fmt == "ellx":
+            eplan = self._ellx_plan_meta
+            nrb = eplan.num_row_blocks
+            bh = eplan.block_h
+            chunk = self._chunk
+            ov_nrb = (
+                eplan.overflow.num_row_blocks
+                if eplan.overflow is not None else 0
+            )
+
+            def run(d, xb, bias):
+                if "perm" in d:
+                    xb = jnp.take(xb, d["perm"], axis=1)
+                xt = xb.T.reshape(-1, LANES, xb.shape[0])
+                y = ellx_matvec_batched(
+                    d, xt, nrb, bh, chunk, ov_nrb, interpret=interp
+                )  # [nrb, bh, B]
+                y = y.reshape(-1, xb.shape[0])[:R].T
+                return y if bias is None else y + bias[None, :]
+
+        elif fmt == "split":
+            splan = self._split_plan_meta
+            body = splan.body
+            bh = splan.block_h
+            chunk = self._chunk
+            nrb = body.num_row_blocks if body is not None else 0
+            ov_nrb = (
+                body.overflow.num_row_blocks
+                if body is not None and body.overflow is not None else 0
+            )
+            kc = (
+                len(splan.hub_col_idx)
+                if splan.hub_col_idx is not None else 0
+            )
+            kc_pad = (
+                splan.hub_col_dense.shape[1]
+                if splan.hub_col_dense is not None else 0
+            )
+            kr = (
+                len(splan.hub_row_idx)
+                if splan.hub_row_idx is not None else 0
+            )
+
+            def run(d, xb, bias):
+                B = xb.shape[0]
+                if "base_data" in d:
+                    xt = xb.T.reshape(-1, LANES, B)
+                    y = ellx_matvec_batched(
+                        d, xt, nrb, bh, chunk, ov_nrb, interpret=interp
+                    ).reshape(-1, B)[:R].T  # [B, R]
+                else:
+                    y = jnp.zeros((B, R), jnp.float32)
+                if "hc" in d:
+                    xh = jnp.take(xb, d["hc_idx"], axis=1)
+                    xh = jnp.pad(xh, ((0, 0), (0, kc_pad - kc)))
+                    y = y + jnp.dot(
+                        xh, d["hc"].astype(jnp.float32).T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )[:, :R]
+                if "hr" in d:
+                    yr = jnp.dot(
+                        xb, d["hr"].astype(jnp.float32).T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )[:, :kr]
+                    y = y.at[:, d["hr_idx"]].add(yr)
+                return y if bias is None else y + bias[None, :]
+
         elif fmt == "window":
             from hispmv_tpu.ops.spmv_windowed import (
                 pack_batch_x,
@@ -564,32 +829,43 @@ class SpmvHandle:
             bh = plan.block_h
             wchunk = self._wchunk
             nwin = plan.num_windows
-            # wide-gather kernel: B<=64 (verified gather width) and
-            # x[B]+y[B] resident in VMEM
-            use_wide = batch <= 64 and (
-                (nwin * 8 * LANES + nrb * bh) * batch * 4
+            # wide-gather kernel: panel of <=64 vectors (verified gather
+            # width) whose x[P]+y[P] fit VMEM; larger batches TILE the
+            # batch dimension over such panels (A re-streamed once per
+            # panel, NOT once per vector — the runLinear double-buffering
+            # contract, fpga_handle.cpp:323-388)
+            panel_b = 64
+            while panel_b > 1 and (
+                (nwin * 8 * LANES + nrb * bh) * panel_b * 4
                 + 2 * wchunk * (bh + 1) * LANES * 4
-                <= self._CHUNKED_VMEM_BUDGET
-            )
+                > self._CHUNKED_VMEM_BUDGET
+            ):
+                panel_b //= 2
 
             def run(d, xb, bias):
-                if use_wide:
-                    xp = pack_batch_x(xb, nwin)
-                    y = spmv_windowed_batched_pallas(
-                        d["data"], d["subidx"], d["meta"], xp,
-                        nrb, bh, wchunk, interpret=interp,
-                    )  # [nrb, bh, B]
-                    y = y.reshape(-1, xb.shape[0])[:R].T
+                B = xb.shape[0]
+                if panel_b > 1:
+                    ys = []
+                    for b0 in range(0, B, panel_b):
+                        xp_part = xb[b0: b0 + panel_b]
+                        xp = pack_batch_x(xp_part, nwin)
+                        yp = spmv_windowed_batched_pallas(
+                            d["data"], d["subidx"], d["meta"], xp,
+                            nrb, bh, wchunk, interpret=interp,
+                        )  # [nrb, bh, P]
+                        ys.append(
+                            yp.reshape(-1, xp_part.shape[0])[:R].T
+                        )
+                    y = jnp.concatenate(ys, axis=0)
                 else:
-                    # fall back to per-vector kernel calls (A re-streamed
-                    # per vector)
+                    # degenerate VMEM budget: per-vector kernel calls
                     ys = [
                         spmv_windowed_pallas(
                             d["data"], d["subidx"], d["meta"],
                             xb[b].reshape(-1, LANES), nrb, bh, wchunk,
                             interpret=interp,
                         ).reshape(-1)[:R]
-                        for b in range(xb.shape[0])
+                        for b in range(B)
                     ]
                     y = jnp.stack(ys)
                 return y if bias is None else y + bias[None, :]
@@ -666,9 +942,13 @@ def choose_format(coo: COOMatrix, config: SpmvConfig) -> str:
     est_blocks = uniq * (n / take)
     est_fill = n / (est_blocks * config.block_h * LANES)
     # Low plain-block fill -> the windowed format (merges scattered blocks
-    # via per-lane sub-index gathering).  The gather stream is never picked
-    # automatically on TPU (measured ~0.1 Gnnz/s, see tune/cost.py).
-    return "block" if est_fill >= config.min_block_fill else "window"
+    # via per-lane sub-index gathering); VERY low fill (hypersparse) -> the
+    # scalar-free ELLX engine, whose per-unit cost is ~4x lower than any
+    # Pallas block step.  The gather stream is never picked automatically
+    # on TPU (measured ~0.1 Gnnz/s, see tune/cost.py).
+    if est_fill >= config.min_block_fill:
+        return "block"
+    return "window" if est_fill >= 0.01 else "ellx"
 
 
 def prepare(

@@ -140,13 +140,11 @@ def main(argv=None) -> int:
     if not args.no_bench:
         import jax.numpy as jnp
 
-        from hispmv_tpu.utils import measure_loop_time
-        from hispmv_tpu.utils.timing import spmv_step_wrapper
+        from hispmv_tpu.utils.timing import bench_spmv
 
-        step, c0 = spmv_step_wrapper(
-            lambda xx: handle.run(xx), jnp.asarray(x)
-        )
-        kernel_s = measure_loop_time(step, c0)
+        fn, rargs = handle.explicit_runner()
+        xp = jnp.asarray(handle._pad_x(jnp.asarray(x)))
+        kernel_s, _ = bench_spmv(fn, xp, kernel_args=rargs)
         gflops = 2 * (coo.nnz + coo.num_rows) / kernel_s / 1e9
         print(
             f"[{name}] kernel={kernel_s*1e6:.1f}us {gflops:.2f} GFLOP/s "

@@ -411,3 +411,233 @@ def spmv_sharded_window(
     ]
     y = jnp.concatenate(pieces)
     return y[: splan.shape[0]]
+
+
+# ---------------------------------------------------------------------------
+# Chunked fast path + ring overlap (round 2).
+#
+# The per-block kernel used above costs ~250 ns/block of grid overhead; the
+# production path is the chunked stream (ops/spmv_chunked.py).  For the
+# multi-chip x exchange, the ring variant column-shards x and rotates it
+# with ppermute while each device processes the segment it currently
+# holds — XLA's latency-hiding scheduler overlaps the collective with the
+# Pallas compute (the halo-overlap contract of SURVEY section 2.7 /
+# BASELINE section 6).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedChunkedPlan:
+    """Per-device, per-x-shard chunked segments (ring schedule).
+
+    data5 [D, STEP, nch_max, chunk*bh, LANES]: device d's blocks for RING
+    STEP t (i.e. x shard (d - t) mod D — the shard device d holds after t
+    rotations), packed as an add-flush chunked stream with shard-local
+    column ids.  Step-major storage lets the shard_map body index segments
+    STATICALLY (no dynamic-slice copy of the A stream).
+    meta5 [D, STEP, nch_max, 2, chunk].
+    """
+
+    shape: tuple
+    nnz: int
+    block_h: int
+    chunk: int
+    num_devices: int
+    data5: np.ndarray
+    meta5: np.ndarray
+    nrb_per_dev: tuple
+    nrb_max: int
+    num_col_blocks: int
+    ncb_per_shard: int
+    blocks_per_dev: tuple
+
+    @property
+    def balance(self) -> float:
+        loads = np.asarray(self.blocks_per_dev, np.float64)
+        return float(loads.max() / max(loads.mean(), 1e-9))
+
+
+def build_sharded_chunked_plan(
+    coo: COOMatrix,
+    num_devices: int,
+    block_h: int = 8,
+    chunk: Optional[int] = None,
+) -> ShardedChunkedPlan:
+    from hispmv_tpu.ops.spmv_chunked import chunk_for
+
+    plan: BlockPlan = build_block_plan(coo, block_h=block_h)
+    D = num_devices
+    bh = block_h
+    chunk = chunk or min(chunk_for(bh), 128)
+    nrb = plan.num_row_blocks
+    ncb = plan.num_col_blocks
+    ncb_per = max(-(-ncb // D), 1)
+
+    blocks_per_rb = np.bincount(plan.block_rows, minlength=nrb)
+    bounds = _split_boundaries(blocks_per_rb, D)
+    rb_starts = np.concatenate([[0], np.cumsum(blocks_per_rb)])
+    nrb_per_dev = tuple(
+        int(bounds[d + 1] - bounds[d]) for d in range(D)
+    )
+    nrb_max = max(max(nrb_per_dev), 1)
+
+    # segment blocks by (device, x shard); count chunks
+    segs = {}
+    nch_max = 1
+    blocks_per_dev = []
+    for d in range(D):
+        s0, e0 = int(rb_starts[bounds[d]]), int(rb_starts[bounds[d + 1]])
+        blocks_per_dev.append(e0 - s0)
+        rows_l = plan.block_rows[s0:e0] - int(bounds[d])
+        cols_g = plan.block_cols[s0:e0]
+        shard = cols_g // ncb_per
+        for s in range(D):
+            sel = shard == s
+            n = int(sel.sum())
+            segs[(d, s)] = (
+                plan.data[s0:e0][sel],
+                rows_l[sel],
+                (cols_g - s * ncb_per)[sel],
+            )
+            nch_max = max(nch_max, -(-n // chunk))
+
+    data5 = np.zeros(
+        (D, D, nch_max, chunk * bh, LANES), np.float32
+    )
+    meta5 = np.zeros((D, D, nch_max, 2, chunk), np.int32)
+    for (d, s), (dat, rows_l, cols_l) in segs.items():
+        step = (d - s) % D  # ring step at which device d holds shard s
+        n = len(rows_l)
+        if n == 0:
+            continue
+        n_pad = nch_max * chunk
+        db = np.zeros((n_pad, bh, LANES), np.float32)
+        db[:n] = dat
+        m = np.zeros((2, n_pad), np.int32)
+        # add-flush kernel: last flag per (row_block) run within the segment
+        lasts = np.ones(n, np.int32)
+        lasts[:-1] = (rows_l[1:] != rows_l[:-1]).astype(np.int32)
+        m[0, :n] = rows_l * 2 + lasts
+        m[1, :n] = cols_l
+        if n_pad > n:
+            m[0, n:] = rows_l[-1] * 2
+        data5[d, step] = db.reshape(nch_max, chunk * bh, LANES)
+        meta5[d, step] = np.ascontiguousarray(
+            m.reshape(2, nch_max, chunk).transpose(1, 0, 2)
+        )
+
+    return ShardedChunkedPlan(
+        shape=plan.shape,
+        nnz=plan.nnz,
+        block_h=bh,
+        chunk=chunk,
+        num_devices=D,
+        data5=data5,
+        meta5=meta5,
+        nrb_per_dev=nrb_per_dev,
+        nrb_max=nrb_max,
+        num_col_blocks=ncb,
+        ncb_per_shard=ncb_per,
+        blocks_per_dev=tuple(blocks_per_dev),
+    )
+
+
+def spmv_sharded_chunked(
+    splan: ShardedChunkedPlan,
+    x,
+    mesh: Mesh,
+    *,
+    x_mode: str = "ring",  # "ring" | "replicated"
+    interpret: bool = False,
+) -> jax.Array:
+    """Distributed chunked SpMV.
+
+    ``x_mode="ring"``: x column-sharded; D ring steps, each computing the
+    currently-held x shard's segment while ppermute rotates x to the next
+    device (comm/compute overlap).  ``"replicated"``: every device holds
+    full x and runs its D segments back-to-back (no comm).
+    """
+    from jax import shard_map
+
+    from hispmv_tpu.ops.spmv_chunked import spmv_chunked_paneled_pallas
+
+    axis = mesh.axis_names[0]
+    D = splan.num_devices
+    bh = splan.block_h
+    chunk = splan.chunk
+    nrb_max = splan.nrb_max
+    ncb_per = splan.ncb_per_shard
+    nch = splan.data5.shape[2]
+
+    x = jnp.asarray(x, jnp.float32)
+    if x.shape[0] != splan.shape[1]:
+        raise ValueError(
+            f"x has {x.shape[0]} entries, matrix has {splan.shape[1]} columns"
+        )
+    pad = D * ncb_per * LANES - x.shape[0]
+    if pad > 0:
+        x = jnp.pad(x, (0, pad))
+
+    args = (jnp.asarray(splan.data5), jnp.asarray(splan.meta5))
+
+    def run_segment(d3, m3, x_shard):
+        """One ring-step segment through the add-flush chunked kernel
+        (x panel = the shard; panel ids all zero -> x stays resident)."""
+        return spmv_chunked_paneled_pallas(
+            d3, m3, jnp.zeros((nch,), jnp.int32),
+            x_shard.reshape(ncb_per, LANES),
+            nrb_max, bh, chunk, ncb_per,
+            interpret=interpret,
+        )
+
+    if x_mode == "ring":
+
+        def body(data5, meta5, x_in):
+            data4, meta4 = data5[0], meta5[0]
+            x_cur = x_in  # my shard
+            y = jnp.zeros((nrb_max, bh), jnp.float32)
+            for t in range(D):
+                if t < D - 1:
+                    # issue the rotation BEFORE the step's compute so the
+                    # collective overlaps the Pallas kernel
+                    x_next = jax.lax.ppermute(
+                        x_cur, axis,
+                        perm=[(i, (i + 1) % D) for i in range(D)],
+                    )
+                y = y + run_segment(data4[t], meta4[t], x_cur)
+                if t < D - 1:
+                    x_cur = x_next
+            return y.reshape(1, nrb_max * bh)
+
+        x_spec = P(axis)
+    else:  # replicated
+
+        def body(data5, meta5, x_in):
+            data4, meta4 = data5[0], meta5[0]
+            me = jax.lax.axis_index(axis)
+            y = jnp.zeros((nrb_max, bh), jnp.float32)
+            for t in range(D):
+                # step t of the ring schedule uses shard (me - t) mod D
+                start = ((me - t) % D) * (ncb_per * LANES)
+                shard = jax.lax.dynamic_slice_in_dim(
+                    x_in, start, ncb_per * LANES
+                )
+                y = y + run_segment(data4[t], meta4[t], shard)
+            return y.reshape(1, nrb_max * bh)
+
+        x_spec = P()
+
+    y_sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), x_spec),
+        out_specs=P(axis),
+        check_vma=False,
+    )(*args, x)
+
+    pieces = [
+        y_sharded[d, : splan.nrb_per_dev[d] * bh]
+        for d in range(D)
+    ]
+    y = jnp.concatenate(pieces)
+    return y[: splan.shape[0]]

@@ -6,25 +6,35 @@ TPU analog adds durable prepared plans: preprocessing large matrices costs
 seconds to minutes (sort + pack over nnz), so plans can be saved as .npz
 and reloaded into a handle without touching the raw matrix again —
 checkpoint/resume for the preprocessing pipeline.
+
+Supports every plan family, including the nested round-2 plans (EllxPlan
+holds an overflow BlockPlan; SplitPlan holds an EllxPlan body): nested
+dataclasses are flattened with ``prefix..field`` keys.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
 from typing import Union
 
 import numpy as np
 
+from hispmv_tpu.config import SpmvConfig
+from hispmv_tpu.ops.spmv_ellx import EllxPlan
 from hispmv_tpu.plan.blocks import BlockPlan
 from hispmv_tpu.plan.partition import StreamPlan
+from hispmv_tpu.plan.split import SplitPlan
 from hispmv_tpu.plan.windows import WindowPlan
-from hispmv_tpu.config import SpmvConfig
 
 _PLAN_TYPES = {
     "block": BlockPlan,
     "window": WindowPlan,
     "stream": StreamPlan,
+    "ellx": EllxPlan,
+    "split": SplitPlan,
 }
+_SEP = ".."
 
 
 def _type_name(plan) -> str:
@@ -34,22 +44,53 @@ def _type_name(plan) -> str:
     raise TypeError(f"unknown plan type: {type(plan)}")
 
 
-def save_plan(path: str, plan: Union[BlockPlan, WindowPlan, StreamPlan]):
-    """Serialize a plan to a compressed .npz archive."""
-    fields = {}
-    meta = {"__plan_type__": _type_name(plan)}
+def _flatten(plan, prefix, fields, meta):
+    meta[prefix + "__plan_type__"] = _type_name(plan)
     for f in dataclasses.fields(plan):
+        key = prefix + f.name
         v = getattr(plan, f.name)
         if isinstance(v, np.ndarray):
-            fields[f.name] = v
+            fields[key] = v
         elif isinstance(v, SpmvConfig):
-            meta["__config__"] = dataclasses.asdict(v)
+            meta[key + "__config__"] = dataclasses.asdict(v)
+        elif dataclasses.is_dataclass(v) and not isinstance(v, type):
+            _flatten(v, key + _SEP, fields, meta)
         elif v is None:
-            meta[f.name] = ("__none__",)
+            meta[key] = ("__none__",)
         else:
-            meta[f.name] = v
-    import json
+            meta[key] = v
 
+
+def _unflatten(prefix, z, meta):
+    cls = _PLAN_TYPES[meta[prefix + "__plan_type__"]]
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        key = prefix + f.name
+        if key in z.files:
+            kwargs[f.name] = z[key]
+        elif key + "__config__" in meta:
+            kwargs[f.name] = SpmvConfig(**meta[key + "__config__"])
+        elif (key + _SEP + "__plan_type__") in meta:
+            kwargs[f.name] = _unflatten(key + _SEP, z, meta)
+        elif key in meta:
+            v = meta[key]
+            if v == ["__none__"] or v == ("__none__",):
+                v = None
+            elif isinstance(v, list):
+                v = tuple(v)
+            kwargs[f.name] = v
+    if "shape" in kwargs and isinstance(kwargs["shape"], list):
+        kwargs["shape"] = tuple(kwargs["shape"])
+    return cls(**kwargs)
+
+
+def save_plan(
+    path: str,
+    plan: Union[BlockPlan, WindowPlan, StreamPlan, EllxPlan, SplitPlan],
+):
+    """Serialize a plan (possibly with nested sub-plans) to .npz."""
+    fields, meta = {}, {}
+    _flatten(plan, "", fields, meta)
     fields["__meta__"] = np.frombuffer(
         json.dumps(meta, default=list).encode(), dtype=np.uint8
     )
@@ -58,26 +99,6 @@ def save_plan(path: str, plan: Union[BlockPlan, WindowPlan, StreamPlan]):
 
 def load_plan(path: str):
     """Load a plan saved with :func:`save_plan`."""
-    import json
-
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"].tobytes()).decode())
-        cls = _PLAN_TYPES[meta.pop("__plan_type__")]
-        cfg = meta.pop("__config__", None)
-        kwargs = {}
-        for f in dataclasses.fields(cls):
-            if f.name in z.files:
-                kwargs[f.name] = z[f.name]
-            elif f.name in meta:
-                v = meta[f.name]
-                if v == ["__none__"] or v == ("__none__",):
-                    v = None
-                elif isinstance(v, list):
-                    v = tuple(v)
-                kwargs[f.name] = v
-            elif f.name == "config" and cfg is not None:
-                kwargs["config"] = SpmvConfig(**cfg)
-        # tuple-typed fields stored via json lists
-        if "shape" in kwargs and isinstance(kwargs["shape"], list):
-            kwargs["shape"] = tuple(kwargs["shape"])
-        return cls(**kwargs)
+        return _unflatten("", z, meta)

@@ -43,6 +43,11 @@ class DeviceProfile:
     launch_overhead_s: float = 3e-6  # on-device dispatch per kernel
     vmem_bytes: int = 64 * 2**20  # usable VMEM ceiling (conservative)
     hbm_bytes: int = 12 * 2**30  # usable HBM for resident plans
+    # fused XLA ELL executor (gather+multiply+reduce in one HBM pass):
+    # measured 437-684 GB/s on the v5e (2026-08 round-2 microbench)
+    ellx_gbps: float = 500.0
+    # per-row cost of jnp.take(axis=0) row gathers (0.55 G rows/s measured)
+    row_gather_s: float = 1.8e-9
 
 
 # Default profile used when no calibration file exists.
@@ -120,6 +125,44 @@ class CostModel:
 
     def window_resident_bytes(self, num_blocks: int, block_h: int) -> int:
         return num_blocks * ((block_h * 128 + 128) * 4 + 16)
+
+    def ellx_seconds(
+        self,
+        base_bytes: int,
+        overflow_blocks: int,
+        rows: int,
+        cols: int,
+        value_bytes: int = 4,
+    ) -> float:
+        """Pure-XLA base-K ELL pass + optional Pallas overflow stream."""
+        scale = value_bytes / 4.0
+        t = (
+            base_bytes * scale + cols * 4 + rows * 4
+        ) / (self.p.ellx_gbps * 1e9)
+        if overflow_blocks:
+            t += (
+                self.p.launch_overhead_s
+                + overflow_blocks * self.p.block_step_overhead_s
+            )
+        return t + self.p.launch_overhead_s
+
+    def split_seconds(
+        self,
+        hub_bytes: int,
+        body_base_bytes: int,
+        body_overflow_blocks: int,
+        rows: int,
+        cols: int,
+        value_bytes: int = 4,
+    ) -> float:
+        """Hub-dense panels at DMA rate + ELLX body."""
+        scale = value_bytes / 4.0
+        t = hub_bytes * scale / (
+            self.p.hbm_gbps * 1e9 * self.p.dense_efficiency
+        )
+        return t + self.ellx_seconds(
+            body_base_bytes, body_overflow_blocks, rows, cols, value_bytes
+        )
 
     def dense_seconds(self, rows: int, cols: int) -> float:
         rp, cp = -(-rows // 8) * 8, -(-cols // 128) * 128

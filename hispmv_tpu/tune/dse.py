@@ -155,6 +155,18 @@ def count_blocks(
     return int(1 + np.count_nonzero(np.diff(key)))
 
 
+def _label_format(label: str) -> str:
+    """Candidate label -> handle format name."""
+    stem = label.replace("-bf16", "")
+    if stem in ("dense", "stream", "split"):
+        return stem
+    if stem.startswith("ellx"):
+        return "ellx"
+    if stem.startswith("win"):
+        return "window"
+    return "block"
+
+
 class DSE:
     """Exhaustive search over the candidate grid under the cost model."""
 
@@ -248,6 +260,81 @@ class DSE:
                          base, block_h=bh, value_dtype="bfloat16"))
                 )
 
+        # ELLX (pure-XLA base-K ELL + overflow) — the scalar-free engine for
+        # irregular matrices.  Candidate per block height; block counts per
+        # row-block derive from the same unique-key arrays.
+        from hispmv_tpu.ops.spmv_ellx import choose_k_base
+
+        ellx_units = {}
+        for bh in (1, 8, 16):
+            if bh == 1:
+                k1 = coo.rows.astype(np.int64) * ncb + coo.cols // LANES
+                uk = np.unique(k1)
+                uk_rb = uk // ncb
+            elif bh == 8:
+                uk_rb = uk_rb8
+            else:
+                m = np.unique((uk_rb8 // 2) * ncb + uk_cb)
+                uk_rb = m // ncb
+            nrb = max(-(-R // bh), 1)
+            counts = np.bincount(
+                uk_rb.astype(np.int64), minlength=nrb
+            )
+            k = choose_k_base(counts, bh)
+            base_b = nrb * k * (bh * LANES * 4 + 4)
+            ov = int(np.maximum(counts - k, 0).sum())
+            resident = base_b + ov * (bh * LANES * 4 + 16)
+            ellx_units[bh] = (len(uk_rb), k, ov)
+            if not self.model.fits(resident):
+                continue
+            if resident > 2000 * max(nnz, 1):
+                continue
+            t = self.model.ellx_seconds(base_b, ov, R, C)
+            cands.append(
+                (f"ellx{bh}", t, dataclasses.replace(base, block_h=bh))
+            )
+
+        # Split (hub rows/cols dense + ELLX body) — the load-balance
+        # (HI crossbar) analog for power-law/arrowhead matrices.
+        from hispmv_tpu.plan.split import _BODY_BYTES_PER_NNZ, _MAX_HUBS
+
+        col_deg = np.bincount(coo.cols, minlength=C)
+        r_pad8, c_pad = -(-R // 8) * 8, ncb * LANES
+        thr_c = max(r_pad8 * 4.0 / _BODY_BYTES_PER_NNZ, 4.0)
+        hub_c = np.nonzero(col_deg > thr_c)[0][:_MAX_HUBS]
+        in_hc = np.zeros(C, bool)
+        in_hc[hub_c] = True
+        sel_hc = in_hc[coo.cols]
+        row_deg = np.bincount(coo.rows[~sel_hc], minlength=R)
+        thr_r = max(c_pad * 4.0 / _BODY_BYTES_PER_NNZ, 4.0)
+        hub_r = np.nonzero(row_deg > thr_r)[0][:_MAX_HUBS]
+        if len(hub_c) or len(hub_r):
+            in_hr = np.zeros(R, bool)
+            in_hr[hub_r] = True
+            body_sel = ~sel_hc & ~in_hr[coo.rows]
+            kc_pad = -(-max(len(hub_c), 1) // LANES) * LANES
+            kr_pad = -(-max(len(hub_r), 1) // 8) * 8
+            hub_b = (r_pad8 * kc_pad * 4 if len(hub_c) else 0) + (
+                kr_pad * c_pad * 4 if len(hub_r) else 0
+            )
+            if body_sel.any():
+                kb = (
+                    coo.rows[body_sel].astype(np.int64) * ncb
+                    + coo.cols[body_sel] // LANES
+                )
+                ukb = np.unique(kb)
+                counts = np.bincount(ukb // ncb, minlength=R)
+                k = choose_k_base(counts, 1)
+                base_b = R * k * (LANES * 4 + 4)
+                ov = int(np.maximum(counts - k, 0).sum())
+            else:
+                base_b, ov = 0, 0
+            if self.model.fits(hub_b + base_b):
+                t = self.model.split_seconds(hub_b, base_b, ov, R, C)
+                cands.append(
+                    ("split", t, dataclasses.replace(base, block_h=1))
+                )
+
         # Gather stream.
         P = base.num_pes
         thresh = base.split_threshold or derive_split_threshold(nnz, P)
@@ -268,14 +355,7 @@ class DSE:
         # the model-only pick is always a full-precision format.
         pickable = [c for c in cands if not c[0].endswith("-bf16")]
         label, secs, cfg = pickable[0]
-        if label == "dense":
-            fmt = "dense"
-        elif label == "stream":
-            fmt = "stream"
-        elif label.startswith("win"):
-            fmt = "window"
-        else:
-            fmt = "block"
+        fmt = _label_format(label)
         return TuneResult(
             format=fmt,
             config=cfg,
@@ -306,15 +386,15 @@ def measure_candidates(
     measured = []
     seen_cfg = set()
     for label, est in result.candidates[: max(top, 1)]:
-        if label == "dense":
-            fmt, cfg = "dense", result.config
-        elif label == "stream":
-            fmt, cfg = "stream", result.config
+        fmt = _label_format(label)
+        if fmt in ("dense", "stream"):
+            cfg = result.config
+        elif fmt == "split":
+            cfg = dataclasses.replace(result.config, block_h=1)
         else:
             bf16 = label.endswith("-bf16")
             stem = label.replace("-bf16", "")
             bh = int("".join(c for c in stem if c.isdigit()))
-            fmt = "window" if stem.startswith("win") else "block"
             cfg = dataclasses.replace(
                 result.config, block_h=bh,
                 value_dtype="bfloat16" if bf16 else "float32",
@@ -325,7 +405,9 @@ def measure_candidates(
         seen_cfg.add(key)
         try:
             h = SpmvHandle(coo, config=cfg, format=fmt)
-            t, y = bench_spmv(lambda xx: h.run(xx), x0)
+            fn, args = h.explicit_runner()
+            xp = jnp.asarray(h._pad_x(x0))
+            t, y = bench_spmv(fn, xp, kernel_args=args)
             # accuracy guard (matters for bf16 payloads): candidates that
             # break the rtol=1e-3 acceptance are discarded
             if golden is not None:

@@ -112,6 +112,7 @@ def bench_spmv(
     n_pair: Tuple[int, int] = (1, 17),
     repeats: int = 3,
     exec_cache: str = None,
+    kernel_args=None,
 ):
     """Time an ``x -> y`` kernel AND capture one result with a single
     compiled executable.
@@ -124,15 +125,28 @@ def bench_spmv(
     (jax.experimental.serialize_executable) — later processes skip the
     backend compile entirely, which on remote-compile backends removes
     minutes of unpredictable latency.
+
+    ``kernel_args``: optional pytree of device arrays passed to the kernel
+    as an EXPLICIT jit argument — ``kernel(args, x)`` instead of
+    ``kernel(x)``.  Required for large prepared plans: a kernel that merely
+    closes over them captures them as lowered-module CONSTANTS, which ships
+    gigabytes to remote compile services (observed HTTP 413).
     """
     import numpy as np
 
-    # eval_shape traces without compiling or executing
-    y_shape = jax.eval_shape(lambda x: kernel(x), x0)
+    if kernel_args is None:
+        kfn = lambda a, x: kernel(x)  # noqa: E731
+        kargs = ()
+    else:
+        kfn = kernel
+        kargs = kernel_args
 
-    def step(carry):
+    # eval_shape traces without compiling or executing
+    y_shape = jax.eval_shape(lambda a, x: kfn(a, x), kargs, x0)
+
+    def step(args, carry):
         x, acc, _ = carry
-        y = kernel(x)
+        y = kfn(args, x)
         dep = y.ravel()[:1].astype(x.dtype) * 1e-30
         return (x + dep, acc + dep[0], y)
 
@@ -142,17 +156,19 @@ def bench_spmv(
         jnp.zeros(y_shape.shape, y_shape.dtype),
     )
 
-    def run_fn(carry, salt, n):
+    def run_fn(args, carry, salt, n):
         x, acc, y = carry
         carry = (x + jnp.asarray(salt, x.dtype) * 1e-30, acc, y)
-        carry = jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
+        carry = jax.lax.fori_loop(
+            0, n, lambda i, c: step(args, c), carry
+        )
         chk = jnp.sum(carry[0].ravel()[:1].astype(jnp.float32))
         return carry, chk
 
-    run = _load_or_compile(run_fn, exec_cache, carry0)
+    run = _load_or_compile(run_fn, exec_cache, kargs, carry0)
 
     n_lo, n_hi = n_pair
-    carry, chk = run(carry0, 0.0, jnp.int32(n_lo))
+    carry, chk = run(kargs, carry0, 0.0, jnp.int32(n_lo))
     float(chk)
     y_out = np.asarray(carry[2])
 
@@ -163,7 +179,7 @@ def bench_spmv(
         for _ in range(repeats):
             salt[0] += 1.0
             t0 = time.perf_counter()
-            _, c = run(carry0, salt[0], jnp.int32(n))
+            _, c = run(kargs, carry0, salt[0], jnp.int32(n))
             float(c)
             best = min(best, time.perf_counter() - t0)
         return best
@@ -176,7 +192,7 @@ def bench_spmv(
     return max((t_n - t_lo) / (n - n_lo), 1e-12), y_out
 
 
-def _load_or_compile(run_fn, exec_cache, carry0):
+def _load_or_compile(run_fn, exec_cache, kargs, carry0):
     """Deserialize a cached compiled executable, or compile (and cache)."""
     import os
     import pickle
@@ -195,7 +211,7 @@ def _load_or_compile(run_fn, exec_cache, carry0):
         return jitted
     try:
         compiled = jitted.lower(
-            carry0, jnp.float32(0.0), jnp.int32(1)
+            kargs, carry0, jnp.float32(0.0), jnp.int32(1)
         ).compile()
         from jax.experimental import serialize_executable as se
 

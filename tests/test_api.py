@@ -54,10 +54,10 @@ def test_auto_dispatch_dense():
     assert h.format == "dense"
 
 
-def test_auto_dispatch_window_for_scattered():
+def test_auto_dispatch_ellx_for_hypersparse():
     coo = random_coo(5000, 100_000, 20_000, seed=3)  # ~1 nnz per block
     h = SpmvHandle(coo, format="auto")
-    assert h.format == "window"
+    assert h.format == "ellx"
     x = np.random.default_rng(1).standard_normal(100_000).astype(np.float32)
     np.testing.assert_allclose(
         np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-4

@@ -97,3 +97,53 @@ def test_sharded_window_balance():
     sp = build_sharded_window_plan(coo, num_devices=8)
     assert sp.balance < 2.0
     assert sum(sp.nrb_per_dev) == -(-4000 // sp.block_h)
+
+
+def test_sharded_chunked_ring_matches_golden():
+    """Round-2 fast path: chunked kernel in shard_map with the ppermute
+    ring (comm/compute overlap); both x modes must match scipy."""
+    import jax
+
+    from hispmv_tpu.dist.shard import (
+        build_sharded_chunked_plan,
+        make_mesh,
+        spmv_sharded_chunked,
+    )
+    from hispmv_tpu.formats.synth import blocked_coo
+
+    D = min(4, len(jax.devices()))
+    coo = blocked_coo(1600, 2000, 60_000, seed=70)
+    sp = build_sharded_chunked_plan(coo, num_devices=D, chunk=16)
+    assert sp.balance < 1.5
+    x = np.random.default_rng(71).standard_normal(2000).astype(np.float32)
+    want = coo.to_scipy() @ x.astype(np.float64)
+    mesh = make_mesh(D)
+    for mode in ("ring", "replicated"):
+        y = np.asarray(
+            spmv_sharded_chunked(sp, x, mesh, x_mode=mode, interpret=True)
+        )
+        np.testing.assert_allclose(y, want, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_chunked_powerlaw_balance():
+    import jax
+
+    from hispmv_tpu.dist.shard import (
+        build_sharded_chunked_plan,
+        make_mesh,
+        spmv_sharded_chunked,
+    )
+    from hispmv_tpu.formats.synth import powerlaw_coo
+
+    D = min(4, len(jax.devices()))
+    coo = powerlaw_coo(2000, 2000, 40_000, seed=72)
+    sp = build_sharded_chunked_plan(coo, num_devices=D, chunk=16)
+    assert sp.balance < 1.6, sp.blocks_per_dev
+    x = np.random.default_rng(73).standard_normal(2000).astype(np.float32)
+    want = coo.to_scipy() @ x.astype(np.float64)
+    y = np.asarray(
+        spmv_sharded_chunked(
+            sp, x, make_mesh(D), x_mode="ring", interpret=True
+        )
+    )
+    np.testing.assert_allclose(y, want, rtol=1e-3, atol=1e-4)

@@ -105,3 +105,39 @@ def test_large_random_plan_fast():
     plan = build_plan(coo)
     assert plan.padding_ratio < 0.6
     assert plan.nnz == coo.nnz
+
+
+def test_rmat_and_arrowhead_generators():
+    from hispmv_tpu.formats.synth import arrowhead_coo, rmat_coo
+
+    g = rmat_coo(4096, 4096, 60_000, seed=1)
+    assert g.shape == (4096, 4096)
+    assert 50_000 <= g.nnz <= 60_000
+    # R-MAT must concentrate nnz toward low indices (community corner)
+    top = ((g.rows < 1024) & (g.cols < 1024)).mean()
+    assert top > 0.25  # uniform would give 1/16
+
+    a = arrowhead_coo(8000, 8000, 80_000, seed=2)
+    assert a.shape == (8000, 8000)
+    import numpy as np
+
+    cd = np.bincount(a.cols, minlength=8000)
+    rd = np.bincount(a.rows, minlength=8000)
+    # dense hub rows/cols exist
+    assert cd.max() > 50 * cd.mean()
+    assert rd.max() > 50 * rd.mean()
+    # band: most nnz near the diagonal
+    near = (np.abs(a.rows - a.cols) < 0.05 * 8000).mean()
+    assert near > 0.4
+
+
+def test_suite_matrix_cache_roundtrip(tmp_path):
+    from hispmv_tpu.formats.synth import suite_matrix
+
+    a = suite_matrix("poli_large", cache_dir=str(tmp_path))
+    b = suite_matrix("poli_large", cache_dir=str(tmp_path))  # cache hit
+    import numpy as np
+
+    assert a.nnz == b.nnz
+    np.testing.assert_array_equal(a.rows, b.rows)
+    np.testing.assert_array_equal(a.values, b.values)

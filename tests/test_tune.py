@@ -67,10 +67,11 @@ def test_dse_picks_block_for_block_structured():
 def test_dse_hypersparse_guard():
     # Hypersparse (~1 nnz per block): every block/window plan exceeds the
     # 100 B/nnz pathology guard (their device bytes would dwarf the matrix),
-    # so the gather stream is the only admissible candidate.
+    # so only the scalar-free ELLX engine (round-2) and the gather stream
+    # remain admissible — and ELLX must win.
     coo = random_coo(50_000, 1_000_000, 100_000, seed=5)
     res = DSE().explore(coo)
-    assert res.format == "stream", res.candidates
+    assert res.format in ("ellx", "split"), res.candidates
     assert all(not l.startswith(("block", "win")) for l, _ in res.candidates)
 
 

@@ -125,3 +125,22 @@ def test_windowed_batched_kernel_interpret():
     got = np.asarray(y).reshape(plan.num_row_blocks * 8, B)[: coo.num_rows].T
     want = (coo.to_scipy() @ xb[:, : coo.num_cols].astype(np.float64).T).T
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_windowed_linear_batch_tiling_past_64():
+    """B>64 must tile the batch over wide-gather panels (one A re-stream
+    per panel), not loop per vector; result matches scipy."""
+    import numpy as np
+
+    from hispmv_tpu.api import SpmvHandle
+    from hispmv_tpu.formats.synth import random_coo
+
+    coo = random_coo(256, 2048, 20_000, seed=80)
+    h = SpmvHandle(coo, format="window")
+    rng = np.random.default_rng(81)
+    xb = rng.standard_normal((96, 2048)).astype(np.float32)
+    got = np.asarray(h.linear(xb))
+    want = (coo.to_scipy() @ xb.astype(np.float64).T).T
+    np.testing.assert_allclose(
+        got, want.astype(np.float32), rtol=1e-3, atol=1e-4
+    )
