@@ -133,6 +133,8 @@ class SpmvHandle:
                 self._prepare_ellx(matrix)
             elif fmt == "split":
                 self._prepare_split(matrix)
+            elif fmt == "routed":
+                self._prepare_routed(matrix)
             elif fmt == "window":
                 self._prepare_window(matrix)
             elif fmt == "stream":
@@ -426,6 +428,59 @@ class SpmvHandle:
         self._fill = plan.nnz / max(tot_slots, 1.0)
         self.device_bytes = sum(int(v.nbytes) for v in d.values())
 
+    def _prepare_routed(self, coo: COOMatrix):
+        """Routed-stream format (plan/routed.py + ops/spmv_routed.py):
+        per-nnz vectorized execution with plan-time routing — the crossbar
+        analog.  Conflict/noise residual rides an internal row-granular
+        ELLX plan added to y."""
+        from hispmv_tpu.formats.matrix import COOMatrix as _COO
+        from hispmv_tpu.ops.spmv_routed import DEFAULT_TCHUNK, pack_routed
+        from hispmv_tpu.plan.routed import build_routed_plan
+
+        plan = build_routed_plan(coo)
+        self._routed_plan_meta = plan
+        self._tchunk = DEFAULT_TCHUNK
+        packed = pack_routed(plan, tchunk=self._tchunk)
+        names = ("vals", "lane1", "sub1", "bla", "bsa", "blb", "bsb",
+                 "win", "byt")
+        self._d = {n: jnp.asarray(a) for n, a in zip(names, packed[:-1])}
+        self._routed_residual = None
+        self._routed_residual_coo = False
+        n_res = len(plan.residual_vals)
+        if n_res:
+            # Small residuals: element scatter/gather (~16 ns/nnz) beats an
+            # ELLX base spanning the full row space (R * 516 B).
+            if n_res * 1.6e-8 < coo.shape[0] * 516 / 450e9:
+                self._routed_residual_coo = True
+                self._d["r_rows"] = jnp.asarray(
+                    plan.residual_rows.astype(np.int32)
+                )
+                self._d["r_cols"] = jnp.asarray(
+                    plan.residual_cols.astype(np.int32)
+                )
+                self._d["r_vals"] = jnp.asarray(plan.residual_vals)
+            else:
+                res = _COO(
+                    coo.shape, plan.residual_rows, plan.residual_cols,
+                    plan.residual_vals,
+                )
+                eplan = build_ellx_plan(build_block_plan(res, block_h=1))
+                self._routed_residual = eplan
+                self._d["r_base_data"] = jnp.asarray(eplan.base_data)
+                self._d["r_base_cols"] = jnp.asarray(eplan.base_cols)
+                if eplan.overflow is not None:
+                    self._rchunk = chunk_for(1)
+                    odata, ometa, _ = pack_chunks(
+                        eplan.overflow, self._rchunk
+                    )
+                    self._d["r_odata"] = jnp.asarray(odata)
+                    self._d["r_ometa"] = jnp.asarray(ometa)
+                    self._d["r_ov_expand"] = jnp.asarray(eplan.ov_expand)
+                else:
+                    self._rchunk = None
+        self._fill = plan.fill
+        self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
+
     def _prepare_window(self, coo: COOMatrix):
         from hispmv_tpu.plan.windows import build_window_plan
 
@@ -473,6 +528,10 @@ class SpmvHandle:
             return self._ellx_plan_meta.num_col_blocks * LANES
         if self.format == "split":
             return -(-self.shape[1] // LANES) * LANES
+        if self.format == "routed":
+            from hispmv_tpu.plan.routed import WINDOW as RW
+
+            return self._routed_plan_meta.num_windows * RW
         if self.format == "window":
             from hispmv_tpu.plan.windows import SEGS
 
@@ -614,6 +673,46 @@ class SpmvHandle:
                         precision=jax.lax.Precision.HIGHEST,
                     )[:kr]
                     y = y.at[d["hr_idx"]].add(yr)
+                y = alpha * y
+                return y if y_in is None else y + beta * y_in
+
+        elif fmt == "routed":
+            from hispmv_tpu.ops.spmv_routed import spmv_routed_pallas
+
+            rplan = self._routed_plan_meta
+            tch = self._tchunk
+            nyt, rl1, rlmax = rplan.num_ytiles, rplan.l1, rplan.lmax
+            res = self._routed_residual
+            r_nrb = res.num_row_blocks if res is not None else 0
+            r_ov = (
+                res.overflow.num_row_blocks
+                if res is not None and res.overflow is not None else 0
+            )
+            rchunk = getattr(self, "_rchunk", None)
+
+            def run(d, x, y_in, alpha, beta):
+                arrs = (d["vals"], d["lane1"], d["sub1"], d["bla"],
+                        d["bsa"], d["blb"], d["bsb"], d["win"], d["byt"])
+                y2d = spmv_routed_pallas(
+                    arrs, x.reshape(-1, LANES), nyt, rl1, rlmax,
+                    tchunk=tch, interpret=interp,
+                )
+                y = y2d.reshape(-1)[:R]
+                if "r_rows" in d:  # small residual: element scatter path
+                    contrib = d["r_vals"] * jnp.take(x, d["r_cols"], axis=0)
+                    y = y.at[d["r_rows"]].add(contrib)
+                if res is not None:
+                    rd = {"base_data": d["r_base_data"],
+                          "base_cols": d["r_base_cols"]}
+                    if "r_odata" in d:
+                        rd["odata"] = d["r_odata"]
+                        rd["ometa"] = d["r_ometa"]
+                        rd["ov_expand"] = d["r_ov_expand"]
+                    yr = ellx_matvec(
+                        rd, x.reshape(-1, LANES),
+                        r_nrb, 1, rchunk, r_ov, interpret=interp,
+                    )
+                    y = y + yr.reshape(-1)[:R]
                 y = alpha * y
                 return y if y_in is None else y + beta * y_in
 
@@ -816,6 +915,23 @@ class SpmvHandle:
                         precision=jax.lax.Precision.HIGHEST,
                     )[:, :kr]
                     y = y.at[:, d["hr_idx"]].add(yr)
+                return y if bias is None else y + bias[None, :]
+
+        elif fmt == "routed":
+            # v1: per-vector loop over the single-vector runner (the
+            # routed stream is re-consumed per vector; batched MXU variant
+            # is future work — ellx/block handle the batched-heavy cases)
+            if self._runner is None:
+                self._runner = self._make_runner()
+            single = self._runner
+
+            def run(d, xb, bias):
+                ys = [
+                    single(d, xb[b], None, jnp.float32(1.0),
+                           jnp.float32(0.0))
+                    for b in range(xb.shape[0])
+                ]
+                y = jnp.stack(ys)
                 return y if bias is None else y + bias[None, :]
 
         elif fmt == "window":

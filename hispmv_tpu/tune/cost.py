@@ -48,6 +48,9 @@ class DeviceProfile:
     ellx_gbps: float = 500.0
     # per-row cost of jnp.take(axis=0) row gathers (0.55 G rows/s measured)
     row_gather_s: float = 1.8e-9
+    # routed-stream kernel per-tile cost (1024 nnz slots; measured 85-142
+    # ns/tile on ford2/hangGlider-class plans)
+    routed_tile_s: float = 1.1e-7
 
 
 # Default profile used when no calibration file exists.
@@ -145,6 +148,29 @@ class CostModel:
                 + overflow_blocks * self.p.block_step_overhead_s
             )
         return t + self.p.launch_overhead_s
+
+    def routed_seconds(
+        self,
+        num_tiles: int,
+        stream_bytes: int,
+        residual_nnz: int,
+        rows: int,
+        cols: int,
+    ) -> float:
+        """Routed-stream kernel: max(compute, stream DMA) + residual ELLX
+        (row-granular base over the full row space, k=1)."""
+        t = max(
+            num_tiles * self.p.routed_tile_s,
+            stream_bytes / (self.p.hbm_gbps * 1e9 * self.p.block_dma_efficiency),
+        ) + self.p.launch_overhead_s
+        if residual_nnz:
+            # small residual -> element scatter (~16 ns/nnz); large ->
+            # row-granular ELLX base over the full row space
+            t += min(
+                residual_nnz * 1.6e-8,
+                rows * (128 * 4 + 4) / (self.p.ellx_gbps * 1e9),
+            )
+        return t
 
     def split_seconds(
         self,

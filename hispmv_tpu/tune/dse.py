@@ -158,7 +158,7 @@ def count_blocks(
 def _label_format(label: str) -> str:
     """Candidate label -> handle format name."""
     stem = label.replace("-bf16", "")
-    if stem in ("dense", "stream", "split"):
+    if stem in ("dense", "stream", "split", "routed"):
         return stem
     if stem.startswith("ellx"):
         return "ellx"
@@ -335,6 +335,35 @@ class DSE:
                     ("split", t, dataclasses.replace(base, block_h=1))
                 )
 
+        # Routed stream (the crossbar-analog per-nnz format): estimate
+        # tiles/residual from (1024-row band, 1024-col window) group sizes.
+        from hispmv_tpu.plan.routed import TILE as RTILE
+        from hispmv_tpu.plan.routed import WINDOW as RWINDOW
+
+        nwin_r = max(-(-C // RWINDOW), 1)
+        gkey = (
+            (coo.rows.astype(np.int64) // RWINDOW) * nwin_r
+            + coo.cols // RWINDOW
+        )
+        _, gcounts = np.unique(gkey, return_counts=True)
+        big = gcounts >= 16
+        r_tiles = int((-(-gcounts[big] // RTILE)).sum())
+        r_resid = int(gcounts[~big].sum())
+        if r_tiles:
+            kept = int(gcounts[big].sum())
+            r_fill = kept / max(r_tiles * RTILE, 1)
+            l1_est = 1 if r_fill > 0.7 else 3
+            L_est = 2 if r_fill > 0.7 else 3
+            r_bytes = r_tiles * 1024 * (12 * l1_est + 16 * L_est)
+            if r_resid:
+                r_bytes += R * (LANES * 4 + 4)
+            if self.model.fits(r_bytes):
+                t = self.model.routed_seconds(
+                    r_tiles, r_tiles * 1024 * (12 * l1_est + 16 * L_est),
+                    r_resid, R, C,
+                )
+                cands.append(("routed", t, base))
+
         # Gather stream.
         P = base.num_pes
         thresh = base.split_threshold or derive_split_threshold(nnz, P)
@@ -387,7 +416,7 @@ def measure_candidates(
     seen_cfg = set()
     for label, est in result.candidates[: max(top, 1)]:
         fmt = _label_format(label)
-        if fmt in ("dense", "stream"):
+        if fmt in ("dense", "stream", "routed"):
             cfg = result.config
         elif fmt == "split":
             cfg = dataclasses.replace(result.config, block_h=1)

@@ -1,0 +1,158 @@
+"""Routed-stream planner + executor tests (the crossbar-analog format)."""
+
+import numpy as np
+import pytest
+
+from hispmv_tpu.formats.synth import (
+    arrowhead_coo,
+    banded_coo,
+    powerlaw_coo,
+    random_coo,
+    rmat_coo,
+)
+from hispmv_tpu.plan.routed import build_routed_plan, routed_matvec_numpy
+
+
+def golden(coo, x):
+    return (coo.to_scipy() @ x.astype(np.float64)).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "gen,shape,nnz,seed",
+    [
+        (random_coo, (700, 900), 9_000, 1),
+        (banded_coo, (2000, 2000), 30_000, 2),
+        (powerlaw_coo, (1500, 1500), 25_000, 3),
+        (arrowhead_coo, (3000, 3000), 40_000, 4),
+        (rmat_coo, (2048, 2048), 30_000, 5),
+    ],
+)
+def test_routed_plan_numpy_golden(gen, shape, nnz, seed):
+    coo = gen(shape[0], shape[1], nnz, seed=seed)
+    plan = build_routed_plan(coo)
+    x = np.random.default_rng(10).standard_normal(shape[1])
+    x = x.astype(np.float32)
+    got = routed_matvec_numpy(plan, x)
+    np.testing.assert_allclose(got, golden(coo, x), rtol=1e-3, atol=1e-4)
+    # layered routing leaves only extreme-rank conflicts in the residual
+    assert len(plan.residual_vals) < 0.05 * coo.nnz, (
+        len(plan.residual_vals), coo.nnz)
+
+
+def test_routed_plan_small_and_edge_cases():
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    # single nnz; nnz at matrix corners; duplicate-column rows
+    rows = np.array([0, 0, 0, 1023, 500, 500], np.int64)
+    cols = np.array([0, 127, 128, 2047, 700, 700 + 1024], np.int64)
+    vals = np.arange(1, 7, dtype=np.float32)
+    coo = COOMatrix((1024, 2048), rows, cols, vals)
+    plan = build_routed_plan(coo)
+    x = np.random.default_rng(11).standard_normal(2048).astype(np.float32)
+    np.testing.assert_allclose(
+        routed_matvec_numpy(plan, x), golden(coo, x), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_routed_plan_row_spanning_tiles():
+    """A single dense row spanning multiple tiles must accumulate all its
+    partial runs."""
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    n = 3000  # one row, 3000 nnz in one window? no — spread over windows
+    rows = np.zeros(n, np.int64)
+    cols = np.arange(n, dtype=np.int64)  # covers ~3 windows
+    vals = np.ones(n, np.float32)
+    coo = COOMatrix((8, 4096), rows, cols, vals)
+    plan = build_routed_plan(coo)
+    x = np.random.default_rng(12).standard_normal(4096).astype(np.float32)
+    np.testing.assert_allclose(
+        routed_matvec_numpy(plan, x), golden(coo, x), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_routed_stream_bytes_per_nnz_reasonable():
+    # dense-banded structure: the format's home turf must stay lean
+    coo = banded_coo(20_000, 20_000, 400_000, seed=6)
+    plan = build_routed_plan(coo)
+    bpn = plan.stream_bytes / coo.nnz
+    assert bpn < 120, f"stream bytes/nnz {bpn:.0f} too high"
+    assert plan.lmax <= 16, plan.lmax
+    assert plan.fill > 0.5
+
+
+def _routed_kernel_check(coo, interpret=True):
+    import jax.numpy as jnp
+
+    from hispmv_tpu.ops.spmv_routed import pack_routed, spmv_routed_pallas
+    from hispmv_tpu.plan.routed import WINDOW, build_routed_plan
+
+    plan = build_routed_plan(coo)
+    packed = pack_routed(plan, tchunk=4)
+    nch = packed[-1]
+    arrs = tuple(jnp.asarray(a) for a in packed[:-1])
+    C = coo.shape[1]
+    x = np.random.default_rng(33).standard_normal(C).astype(np.float32)
+    xp = np.zeros(plan.num_windows * WINDOW, np.float32)
+    xp[:C] = x
+    y2d = spmv_routed_pallas(
+        arrs, jnp.asarray(xp).reshape(-1, 128),
+        plan.num_ytiles, plan.l1, plan.lmax, tchunk=4,
+        interpret=interpret,
+    )
+    y = np.asarray(y2d).reshape(-1)[: coo.shape[0]].astype(np.float64)
+    # add residual on host for the comparison
+    if len(plan.residual_vals):
+        np.add.at(
+            y, plan.residual_rows,
+            plan.residual_vals.astype(np.float64) * x[plan.residual_cols],
+        )
+    want = coo.to_scipy() @ x.astype(np.float64)
+    np.testing.assert_allclose(y, want, rtol=1e-3, atol=1e-3)
+
+
+def test_routed_kernel_interpret_banded():
+    coo = banded_coo(3000, 3000, 40_000, seed=40)
+    _routed_kernel_check(coo)
+
+
+def test_routed_kernel_interpret_arrowhead():
+    coo = arrowhead_coo(4000, 4000, 50_000, seed=41)
+    _routed_kernel_check(coo)
+
+
+def test_routed_kernel_interpret_random():
+    coo = random_coo(1500, 2500, 20_000, seed=42)
+    _routed_kernel_check(coo)
+
+
+def test_routed_handle_run_and_linear():
+    from hispmv_tpu.api import SpmvHandle
+
+    coo = banded_coo(3000, 3000, 40_000, seed=50)
+    h = SpmvHandle(coo, format="routed")
+    assert h.format == "routed"
+    x = np.random.default_rng(51).standard_normal(3000).astype(np.float32)
+    y_in = np.random.default_rng(52).standard_normal(3000).astype(np.float32)
+    got = np.asarray(h.run(x, y_in=y_in, alpha=2.0, beta=0.5))
+    want = 2.0 * golden(coo, x) + 0.5 * y_in
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+    xb = np.random.default_rng(53).standard_normal((3, 3000)).astype(np.float32)
+    gotb = np.asarray(h.linear(xb))
+    wantb = (coo.to_scipy() @ xb.astype(np.float64).T).T
+    np.testing.assert_allclose(
+        gotb, wantb.astype(np.float32), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_routed_handle_with_residual():
+    from hispmv_tpu.api import SpmvHandle
+
+    # scattered: forces both conflict-evictions and sparse-group residual
+    coo = random_coo(2000, 5000, 25_000, seed=54)
+    h = SpmvHandle(coo, format="routed")
+    assert h._routed_residual is not None or h._routed_residual_coo
+    x = np.random.default_rng(55).standard_normal(5000).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-3
+    )
