@@ -35,7 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--format",
         default="auto",
-        choices=["auto", "tune", "block", "window", "stream", "dense"],
+        choices=[
+            "auto", "tune", "block", "ellx", "split", "routed", "window",
+            "stream", "dense",
+        ],
         help="execution format; 'tune' runs the cost-model DSE",
     )
     p.add_argument("--block-h", type=int, default=None)

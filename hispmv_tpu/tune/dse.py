@@ -352,15 +352,16 @@ class DSE:
         if r_tiles:
             kept = int(gcounts[big].sum())
             r_fill = kept / max(r_tiles * RTILE, 1)
-            l1_est = 1 if r_fill > 0.7 else 3
-            L_est = 2 if r_fill > 0.7 else 3
+            # scattered groups need more gather layers: per-tile compute
+            # and stream both scale with them (measured ~100 ns/tile at
+            # l1=1/L=2 vs ~700 ns at l1=4/L=5)
+            l1_est = 1 if r_fill > 0.7 else (2 if r_fill > 0.4 else 4)
+            L_est = 2 if r_fill > 0.7 else (3 if r_fill > 0.4 else 5)
+            layer_scale = (l1_est + L_est) / 3.0
             r_bytes = r_tiles * 1024 * (12 * l1_est + 16 * L_est)
-            if r_resid:
-                r_bytes += R * (LANES * 4 + 4)
             if self.model.fits(r_bytes):
                 t = self.model.routed_seconds(
-                    r_tiles, r_tiles * 1024 * (12 * l1_est + 16 * L_est),
-                    r_resid, R, C,
+                    int(r_tiles * layer_scale), r_bytes, r_resid, R, C,
                 )
                 cands.append(("routed", t, base))
 
