@@ -106,7 +106,13 @@ def bench_matrix(name: str, scale: float) -> dict:
 
     t0 = time.time()
     coo = suite_matrix(name, scale=scale)
-    res = tune(coo, cache_path="/tmp/hispmv_best_configs.json")
+    # HISPMV_BENCH_MEASURE=N: build + loop-slope-time the top N candidates
+    # on device (measured winners are cached, so later runs are model-free)
+    res = tune(
+        coo,
+        cache_path="/tmp/hispmv_best_configs.json",
+        measure=int(os.environ.get("HISPMV_BENCH_MEASURE", "0")),
+    )
     handle = SpmvHandle(coo, config=res.config, format=res.format)
     log(
         f"[{name}] scale={scale} nnz={coo.nnz} format={handle.format} "

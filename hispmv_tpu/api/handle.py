@@ -434,13 +434,21 @@ class SpmvHandle:
         analog.  Conflict/noise residual rides an internal row-granular
         ELLX plan added to y."""
         from hispmv_tpu.formats.matrix import COOMatrix as _COO
-        from hispmv_tpu.ops.spmv_routed import DEFAULT_TCHUNK, pack_routed
+        from hispmv_tpu.ops.spmv_routed import (
+            DEFAULT_TCHUNK,
+            _bucket,
+            pack_routed,
+        )
         from hispmv_tpu.plan.routed import build_routed_plan
 
         plan = build_routed_plan(coo)
         self._routed_plan_meta = plan
         self._tchunk = DEFAULT_TCHUNK
         packed = pack_routed(plan, tchunk=self._tchunk)
+        # canonicalized dims (pow-2 buckets -> shared compiled kernels)
+        nch, l1p, lp = packed[-1]
+        self._routed_dims = (l1p, lp, _bucket(plan.num_windows),
+                             _bucket(plan.num_ytiles))
         names = ("vals", "lane1", "sub1", "bla", "bsa", "blb", "bsb",
                  "win", "byt")
         self._d = {n: jnp.asarray(a) for n, a in zip(names, packed[:-1])}
@@ -531,7 +539,7 @@ class SpmvHandle:
         if self.format == "routed":
             from hispmv_tpu.plan.routed import WINDOW as RW
 
-            return self._routed_plan_meta.num_windows * RW
+            return self._routed_dims[2] * RW
         if self.format == "window":
             from hispmv_tpu.plan.windows import SEGS
 
@@ -681,7 +689,7 @@ class SpmvHandle:
 
             rplan = self._routed_plan_meta
             tch = self._tchunk
-            nyt, rl1, rlmax = rplan.num_ytiles, rplan.l1, rplan.lmax
+            rl1, rlmax, _, nyt = self._routed_dims
             res = self._routed_residual
             r_nrb = res.num_row_blocks if res is not None else 0
             r_ov = (

@@ -35,31 +35,53 @@ LANES = 128
 DEFAULT_TCHUNK = 16  # tiles per grid step
 
 
-def pack_routed(plan: RoutedPlan, tchunk: int = DEFAULT_TCHUNK):
+def _bucket(n: int) -> int:
+    """Round up to a power of two (shape canonicalization: remote compiles
+    cost 30s-5min each, so executables must be REUSED across matrices)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def pack_routed(
+    plan: RoutedPlan, tchunk: int = DEFAULT_TCHUNK, bucket: bool = True
+):
     """Pad the tile stream to whole chunks; flatten per-tile arrays to
-    2D-tileable layouts.  Returns device-ready numpy arrays."""
+    2D-tileable layouts.  With ``bucket`` (default), the chunk count and
+    layer counts are rounded to powers of two so differently-sized
+    matrices share one compiled kernel: padding chunks/layers are all-zero
+    (valid bits 0, vals 0) and contribute nothing.
+
+    Returns device-ready numpy arrays + (nch, l1p, lp)."""
     T = plan.num_tiles
     nch = max(-(-T // tchunk), 1)
-    Tp = nch * tchunk
     L1, L = plan.l1, plan.lmax
+    l1p, lp = (L1, L) if not bucket else (_bucket(L1), _bucket(L))
+    if bucket:
+        nch = _bucket(nch)
+    Tp = nch * tchunk
+
+    def padTL(a, lpad):
+        out = np.zeros((Tp, lpad) + a.shape[2:], a.dtype)
+        out[:T, : a.shape[1]] = a
+        return out
 
     def padT(a):
-        if a.shape[0] == Tp:
-            return a
         out = np.zeros((Tp,) + a.shape[1:], a.dtype)
         out[:T] = a
         return out
 
-    vals = padT(plan.vals).reshape(nch, tchunk * L1 * 8, LANES)
-    lane1 = padT(plan.lane1).reshape(nch, tchunk * L1 * 8, LANES)
-    sub1 = padT(plan.sub1).reshape(nch, tchunk * L1 * 8, LANES)
-    bl_a = padT(plan.blane).reshape(nch, tchunk * L * 8, LANES)
-    bs_a = padT(plan.bsub).reshape(nch, tchunk * L * 8, LANES)
-    bl_b = padT(plan.blane_b).reshape(nch, tchunk * L * 8, LANES)
-    bs_b = padT(plan.bsub_b).reshape(nch, tchunk * L * 8, LANES)
+    vals = padTL(plan.vals, l1p).reshape(nch, tchunk * l1p * 8, LANES)
+    lane1 = padTL(plan.lane1, l1p).reshape(nch, tchunk * l1p * 8, LANES)
+    sub1 = padTL(plan.sub1, l1p).reshape(nch, tchunk * l1p * 8, LANES)
+    bl_a = padTL(plan.blane, lp).reshape(nch, tchunk * lp * 8, LANES)
+    bs_a = padTL(plan.bsub, lp).reshape(nch, tchunk * lp * 8, LANES)
+    bl_b = padTL(plan.blane_b, lp).reshape(nch, tchunk * lp * 8, LANES)
+    bs_b = padTL(plan.bsub_b, lp).reshape(nch, tchunk * lp * 8, LANES)
     win = padT(plan.win)
     byt = padT(plan.byt)
-    return vals, lane1, sub1, bl_a, bs_a, bl_b, bs_b, win, byt, nch
+    return vals, lane1, sub1, bl_a, bs_a, bl_b, bs_b, win, byt, (nch, l1p, lp)
 
 
 def _routed_kernel(

@@ -89,7 +89,7 @@ def _routed_kernel_check(coo, interpret=True):
 
     plan = build_routed_plan(coo)
     packed = pack_routed(plan, tchunk=4)
-    nch = packed[-1]
+    nch, l1p, lp = packed[-1]
     arrs = tuple(jnp.asarray(a) for a in packed[:-1])
     C = coo.shape[1]
     x = np.random.default_rng(33).standard_normal(C).astype(np.float32)
@@ -97,7 +97,7 @@ def _routed_kernel_check(coo, interpret=True):
     xp[:C] = x
     y2d = spmv_routed_pallas(
         arrs, jnp.asarray(xp).reshape(-1, 128),
-        plan.num_ytiles, plan.l1, plan.lmax, tchunk=4,
+        plan.num_ytiles, l1p, lp, tchunk=4,
         interpret=interpret,
     )
     y = np.asarray(y2d).reshape(-1)[: coo.shape[0]].astype(np.float64)
