@@ -93,6 +93,46 @@ def _extend_perm(col_perm: np.ndarray, num_cols: int, target: int) -> np.ndarray
     )
 
 
+def _run_routed_part(d, x, R, meta, prefix, interp):
+    """Execute a routed-stream plan (+ its residual) from device dict ``d``
+    with key ``prefix``; returns y[:R].  Shared by the 'routed' format and
+    the split format's routed body."""
+    from hispmv_tpu.ops.spmv_routed import spmv_routed_pallas
+
+    l1p, lp, nwinp, nytp = meta["dims"]
+    need = nwinp * 1024
+    if x.shape[0] < need:
+        x = jnp.pad(x, (0, need - x.shape[0]))
+    arrs = tuple(
+        d[prefix + n]
+        for n in ("vals", "lane1", "sub1", "bla", "bsa", "blb", "bsb",
+                  "win", "byt")
+    )
+    y2d = spmv_routed_pallas(
+        arrs, x.reshape(-1, LANES), nytp, l1p, lp,
+        tchunk=meta["tchunk"], interpret=interp,
+    )
+    y = y2d.reshape(-1)[:R]
+    if (prefix + "r_rows") in d:  # small residual: element scatter
+        contrib = d[prefix + "r_vals"] * jnp.take(
+            x, d[prefix + "r_cols"], axis=0
+        )
+        y = y.at[d[prefix + "r_rows"]].add(contrib)
+    if meta["res"] is not None:  # large residual: row-granular ELLX
+        rd = {"base_data": d[prefix + "r_base_data"],
+              "base_cols": d[prefix + "r_base_cols"]}
+        if (prefix + "r_odata") in d:
+            rd["odata"] = d[prefix + "r_odata"]
+            rd["ometa"] = d[prefix + "r_ometa"]
+            rd["ov_expand"] = d[prefix + "r_ov_expand"]
+        yr = ellx_matvec(
+            rd, x.reshape(-1, LANES), meta["res"].num_row_blocks, 1,
+            meta["rchunk"], meta["res_ov"], interpret=interp,
+        )
+        y = y + yr.reshape(-1)[:R]
+    return y
+
+
 @dataclasses.dataclass
 class PrepareStats:
     format: str
@@ -162,6 +202,7 @@ class SpmvHandle:
         from hispmv_tpu.ops.spmv_ellx import EllxPlan
         from hispmv_tpu.plan.blocks import BlockPlan
         from hispmv_tpu.plan.partition import StreamPlan
+        from hispmv_tpu.plan.routed import RoutedPlan
         from hispmv_tpu.plan.split import SplitPlan
         from hispmv_tpu.plan.windows import WindowPlan
 
@@ -170,7 +211,20 @@ class SpmvHandle:
         self.coo = None
         self.shape = tuple(plan.shape)
         self.nnz = plan.nnz
-        if isinstance(plan, EllxPlan):
+        if isinstance(plan, RoutedPlan):
+            self._routed_plan_meta = plan
+            self._d = {}
+            self._routed_meta = self._routed_pack_into(
+                self._d, plan, self.shape
+            )
+            self._routed_residual = self._routed_meta["res"]
+            self._routed_residual_coo = self._routed_meta["res_coo"]
+            self._fill = plan.fill
+            self.device_bytes = sum(
+                int(v.nbytes) for v in self._d.values()
+            )
+            fmt = "routed"
+        elif isinstance(plan, EllxPlan):
             self.config = dataclasses.replace(
                 self.config, block_h=plan.block_h
             )
@@ -407,7 +461,15 @@ class SpmvHandle:
         if plan.hub_row_dense is not None:
             d["hr"] = jnp.asarray(plan.hub_row_dense, dt)
             d["hr_idx"] = jnp.asarray(plan.hub_row_idx)
-        if plan.body is not None:
+        from hispmv_tpu.plan.routed import RoutedPlan as _RP
+
+        self._split_body_routed_meta = None
+        if isinstance(plan.body, _RP):
+            self._chunk = None
+            self._split_body_routed_meta = self._routed_pack_into(
+                d, plan.body, plan.shape, prefix="b_"
+            )
+        elif plan.body is not None:
             eplan = plan.body
             d["base_data"] = jnp.asarray(eplan.base_data, dt)
             d["base_cols"] = jnp.asarray(eplan.base_cols)
@@ -428,64 +490,82 @@ class SpmvHandle:
         self._fill = plan.nnz / max(tot_slots, 1.0)
         self.device_bytes = sum(int(v.nbytes) for v in d.values())
 
-    def _prepare_routed(self, coo: COOMatrix):
-        """Routed-stream format (plan/routed.py + ops/spmv_routed.py):
-        per-nnz vectorized execution with plan-time routing — the crossbar
-        analog.  Conflict/noise residual rides an internal row-granular
-        ELLX plan added to y."""
+    def _routed_pack_into(self, d, plan, shape, prefix=""):
+        """Pack a RoutedPlan (+ residual executor) into device dict ``d``
+        under ``prefix``; returns the static meta the runner needs."""
         from hispmv_tpu.formats.matrix import COOMatrix as _COO
         from hispmv_tpu.ops.spmv_routed import (
             DEFAULT_TCHUNK,
             _bucket,
             pack_routed,
         )
-        from hispmv_tpu.plan.routed import build_routed_plan
 
-        plan = build_routed_plan(coo)
-        self._routed_plan_meta = plan
-        self._tchunk = DEFAULT_TCHUNK
-        packed = pack_routed(plan, tchunk=self._tchunk)
+        tchunk = DEFAULT_TCHUNK
+        packed = pack_routed(plan, tchunk=tchunk)
         # canonicalized dims (pow-2 buckets -> shared compiled kernels)
         nch, l1p, lp = packed[-1]
-        self._routed_dims = (l1p, lp, _bucket(plan.num_windows),
-                             _bucket(plan.num_ytiles))
         names = ("vals", "lane1", "sub1", "bla", "bsa", "blb", "bsb",
                  "win", "byt")
-        self._d = {n: jnp.asarray(a) for n, a in zip(names, packed[:-1])}
-        self._routed_residual = None
-        self._routed_residual_coo = False
+        for n, a in zip(names, packed[:-1]):
+            d[prefix + n] = jnp.asarray(a)
+        meta = {
+            "dims": (l1p, lp, _bucket(plan.num_windows),
+                     _bucket(plan.num_ytiles)),
+            "tchunk": tchunk,
+            "res": None,
+            "res_coo": False,
+            "res_ov": 0,
+            "rchunk": None,
+        }
         n_res = len(plan.residual_vals)
         if n_res:
             # Small residuals: element scatter/gather (~16 ns/nnz) beats an
             # ELLX base spanning the full row space (R * 516 B).
-            if n_res * 1.6e-8 < coo.shape[0] * 516 / 450e9:
-                self._routed_residual_coo = True
-                self._d["r_rows"] = jnp.asarray(
+            if n_res * 1.6e-8 < shape[0] * 516 / 450e9:
+                meta["res_coo"] = True
+                d[prefix + "r_rows"] = jnp.asarray(
                     plan.residual_rows.astype(np.int32)
                 )
-                self._d["r_cols"] = jnp.asarray(
+                d[prefix + "r_cols"] = jnp.asarray(
                     plan.residual_cols.astype(np.int32)
                 )
-                self._d["r_vals"] = jnp.asarray(plan.residual_vals)
+                d[prefix + "r_vals"] = jnp.asarray(plan.residual_vals)
             else:
                 res = _COO(
-                    coo.shape, plan.residual_rows, plan.residual_cols,
+                    shape, plan.residual_rows, plan.residual_cols,
                     plan.residual_vals,
                 )
                 eplan = build_ellx_plan(build_block_plan(res, block_h=1))
-                self._routed_residual = eplan
-                self._d["r_base_data"] = jnp.asarray(eplan.base_data)
-                self._d["r_base_cols"] = jnp.asarray(eplan.base_cols)
+                meta["res"] = eplan
+                d[prefix + "r_base_data"] = jnp.asarray(eplan.base_data)
+                d[prefix + "r_base_cols"] = jnp.asarray(eplan.base_cols)
                 if eplan.overflow is not None:
-                    self._rchunk = chunk_for(1)
+                    meta["rchunk"] = chunk_for(1)
+                    meta["res_ov"] = eplan.overflow.num_row_blocks
                     odata, ometa, _ = pack_chunks(
-                        eplan.overflow, self._rchunk
+                        eplan.overflow, meta["rchunk"]
                     )
-                    self._d["r_odata"] = jnp.asarray(odata)
-                    self._d["r_ometa"] = jnp.asarray(ometa)
-                    self._d["r_ov_expand"] = jnp.asarray(eplan.ov_expand)
-                else:
-                    self._rchunk = None
+                    d[prefix + "r_odata"] = jnp.asarray(odata)
+                    d[prefix + "r_ometa"] = jnp.asarray(ometa)
+                    d[prefix + "r_ov_expand"] = jnp.asarray(eplan.ov_expand)
+        return meta
+
+    def _prepare_routed(self, coo: COOMatrix):
+        """Routed-stream format (plan/routed.py + ops/spmv_routed.py):
+        per-nnz vectorized execution with plan-time routing — the crossbar
+        analog.  Conflict/noise residual rides an internal element-scatter
+        or row-granular ELLX executor added to y."""
+        from hispmv_tpu.plan.routed import build_routed_plan
+
+        plan = build_routed_plan(coo)
+        self._routed_plan_meta = plan
+        self._d = {}
+        self._routed_meta = self._routed_pack_into(
+            self._d, plan, coo.shape
+        )
+        # back-compat introspection fields
+        self._routed_residual = self._routed_meta["res"]
+        self._routed_residual_coo = self._routed_meta["res_coo"]
         self._fill = plan.fill
         self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
 
@@ -539,7 +619,7 @@ class SpmvHandle:
         if self.format == "routed":
             from hispmv_tpu.plan.routed import WINDOW as RW
 
-            return self._routed_dims[2] * RW
+            return self._routed_meta["dims"][2] * RW
         if self.format == "window":
             from hispmv_tpu.plan.windows import SEGS
 
@@ -636,15 +716,19 @@ class SpmvHandle:
                 return y if y_in is None else y + beta * y_in
 
         elif fmt == "split":
+            from hispmv_tpu.ops.spmv_ellx import EllxPlan as _EP
+
             splan = self._split_plan_meta
             body = splan.body
             bh = splan.block_h
             chunk = self._chunk
-            nrb = body.num_row_blocks if body is not None else 0
+            body_is_ellx = isinstance(body, _EP)
+            nrb = body.num_row_blocks if body_is_ellx else 0
             ov_nrb = (
                 body.overflow.num_row_blocks
-                if body is not None and body.overflow is not None else 0
+                if body_is_ellx and body.overflow is not None else 0
             )
+            bmeta = getattr(self, "_split_body_routed_meta", None)
             kc = (
                 len(splan.hub_col_idx)
                 if splan.hub_col_idx is not None else 0
@@ -659,7 +743,9 @@ class SpmvHandle:
             )
 
             def run(d, x, y_in, alpha, beta):
-                if "base_data" in d:
+                if bmeta is not None:  # routed body (+ its residual)
+                    y = _run_routed_part(d, x, R, bmeta, "b_", interp)
+                elif "base_data" in d:
                     y = ellx_matvec(
                         d, x.reshape(-1, LANES), nrb, bh, chunk, ov_nrb,
                         interpret=interp,
@@ -685,42 +771,10 @@ class SpmvHandle:
                 return y if y_in is None else y + beta * y_in
 
         elif fmt == "routed":
-            from hispmv_tpu.ops.spmv_routed import spmv_routed_pallas
-
-            rplan = self._routed_plan_meta
-            tch = self._tchunk
-            rl1, rlmax, _, nyt = self._routed_dims
-            res = self._routed_residual
-            r_nrb = res.num_row_blocks if res is not None else 0
-            r_ov = (
-                res.overflow.num_row_blocks
-                if res is not None and res.overflow is not None else 0
-            )
-            rchunk = getattr(self, "_rchunk", None)
+            rmeta = self._routed_meta
 
             def run(d, x, y_in, alpha, beta):
-                arrs = (d["vals"], d["lane1"], d["sub1"], d["bla"],
-                        d["bsa"], d["blb"], d["bsb"], d["win"], d["byt"])
-                y2d = spmv_routed_pallas(
-                    arrs, x.reshape(-1, LANES), nyt, rl1, rlmax,
-                    tchunk=tch, interpret=interp,
-                )
-                y = y2d.reshape(-1)[:R]
-                if "r_rows" in d:  # small residual: element scatter path
-                    contrib = d["r_vals"] * jnp.take(x, d["r_cols"], axis=0)
-                    y = y.at[d["r_rows"]].add(contrib)
-                if res is not None:
-                    rd = {"base_data": d["r_base_data"],
-                          "base_cols": d["r_base_cols"]}
-                    if "r_odata" in d:
-                        rd["odata"] = d["r_odata"]
-                        rd["ometa"] = d["r_ometa"]
-                        rd["ov_expand"] = d["r_ov_expand"]
-                    yr = ellx_matvec(
-                        rd, x.reshape(-1, LANES),
-                        r_nrb, 1, rchunk, r_ov, interpret=interp,
-                    )
-                    y = y + yr.reshape(-1)[:R]
+                y = _run_routed_part(d, x, R, rmeta, "", interp)
                 y = alpha * y
                 return y if y_in is None else y + beta * y_in
 
@@ -877,15 +931,19 @@ class SpmvHandle:
                 return y if bias is None else y + bias[None, :]
 
         elif fmt == "split":
+            from hispmv_tpu.ops.spmv_ellx import EllxPlan as _EP
+
             splan = self._split_plan_meta
             body = splan.body
             bh = splan.block_h
             chunk = self._chunk
-            nrb = body.num_row_blocks if body is not None else 0
+            body_is_ellx = isinstance(body, _EP)
+            nrb = body.num_row_blocks if body_is_ellx else 0
             ov_nrb = (
                 body.overflow.num_row_blocks
-                if body is not None and body.overflow is not None else 0
+                if body_is_ellx and body.overflow is not None else 0
             )
+            bmeta = getattr(self, "_split_body_routed_meta", None)
             kc = (
                 len(splan.hub_col_idx)
                 if splan.hub_col_idx is not None else 0
@@ -901,7 +959,12 @@ class SpmvHandle:
 
             def run(d, xb, bias):
                 B = xb.shape[0]
-                if "base_data" in d:
+                if bmeta is not None:  # routed body: per-vector loop
+                    y = jnp.stack([
+                        _run_routed_part(d, xb[b], R, bmeta, "b_", interp)
+                        for b in range(B)
+                    ])
+                elif "base_data" in d:
                     xt = xb.T.reshape(-1, LANES, B)
                     y = ellx_matvec_batched(
                         d, xt, nrb, bh, chunk, ov_nrb, interpret=interp

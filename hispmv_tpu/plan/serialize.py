@@ -24,6 +24,7 @@ from hispmv_tpu.config import SpmvConfig
 from hispmv_tpu.ops.spmv_ellx import EllxPlan
 from hispmv_tpu.plan.blocks import BlockPlan
 from hispmv_tpu.plan.partition import StreamPlan
+from hispmv_tpu.plan.routed import RoutedPlan
 from hispmv_tpu.plan.split import SplitPlan
 from hispmv_tpu.plan.windows import WindowPlan
 
@@ -33,6 +34,7 @@ _PLAN_TYPES = {
     "stream": StreamPlan,
     "ellx": EllxPlan,
     "split": SplitPlan,
+    "routed": RoutedPlan,
 }
 _SEP = ".."
 

@@ -52,7 +52,7 @@ class SplitPlan:
     hub_col_dense: Optional[np.ndarray]  # f32 [R_pad, kc_pad]
     hub_row_idx: Optional[np.ndarray]  # i32 [kr]
     hub_row_dense: Optional[np.ndarray]  # f32 [kr_pad, C_pad]
-    body: Optional[EllxPlan]
+    body: Optional[object]  # EllxPlan or plan.routed.RoutedPlan
 
     @property
     def device_bytes(self) -> int:
@@ -61,27 +61,61 @@ class SplitPlan:
             n += self.hub_col_dense.nbytes
         if self.hub_row_dense is not None:
             n += self.hub_row_dense.nbytes
-        if self.body is not None:
+        if isinstance(self.body, EllxPlan):
             n += self.body.base_bytes
             if self.body.overflow is not None:
                 n += self.body.overflow.data.nbytes
+        elif self.body is not None:  # RoutedPlan
+            n += self.body.stream_bytes
         return n
 
     @property
     def stats(self) -> dict:
-        return {
+        d = {
             "kc": 0 if self.hub_col_idx is None else len(self.hub_col_idx),
             "kr": 0 if self.hub_row_idx is None else len(self.hub_row_idx),
             "body_nnz": 0 if self.body is None else self.body.nnz,
-            "body_k": 0 if self.body is None else self.body.k_base,
-            "body_overflow": (
-                0 if self.body is None else self.body.overflow_blocks
+            "body_fmt": (
+                "none" if self.body is None
+                else ("ellx" if isinstance(self.body, EllxPlan) else "routed")
             ),
         }
+        if isinstance(self.body, EllxPlan):
+            d["body_k"] = self.body.k_base
+            d["body_overflow"] = self.body.overflow_blocks
+        return d
 
 
 def _pad(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _pick_body_format(body: COOMatrix) -> str:
+    """Routed when the body's (band, window) groups are tile-friendly
+    (modeled routed time beats the ELLX base pass)."""
+    from hispmv_tpu.plan.routed import TILE, WINDOW
+
+    R, C = body.shape
+    nwin = max(-(-C // WINDOW), 1)
+    gkey = (body.rows.astype(np.int64) // WINDOW) * nwin \
+        + body.cols // WINDOW
+    _, gcounts = np.unique(gkey, return_counts=True)
+    big = gcounts >= 16
+    tiles = int((-(-gcounts[big] // TILE)).sum())
+    resid = int(gcounts[~big].sum())
+    kept = int(gcounts[big].sum())
+    fill = kept / max(tiles * TILE, 1)
+    layer_scale = 1.0 if fill > 0.7 else (1.7 if fill > 0.4 else 3.0)
+    t_routed = tiles * 1.1e-7 * layer_scale + min(
+        resid * 1.6e-8, R * 516 / 450e9
+    )
+    # ELLX body cost ~ rows * k * 516 B at the fused rate (k ~= mean units)
+    units = len(np.unique(
+        body.rows.astype(np.int64) * (C // 128 + 1) + body.cols // 128
+    ))
+    k_est = max(-(-units // max(R, 1)), 1)
+    t_ellx = R * k_est * 516 / 450e9
+    return "routed" if tiles and t_routed < t_ellx else "ellx"
 
 
 def build_split_plan(
@@ -89,8 +123,10 @@ def build_split_plan(
     block_h: int = 1,
     body_bytes_per_nnz: float = _BODY_BYTES_PER_NNZ,
     max_hubs: int = _MAX_HUBS,
+    body_format: str = "auto",  # "auto" | "ellx" | "routed"
 ) -> SplitPlan:
-    """Split A by degree thresholds, then plan the body with ELLX."""
+    """Split A by degree thresholds, then plan the body (routed when its
+    (band, window) group structure is tile-friendly, else ELLX)."""
     R, C = coo.shape
     rows, cols, vals = coo.rows, coo.cols, coo.values
 
@@ -144,7 +180,17 @@ def build_split_plan(
         body_coo = COOMatrix(
             coo.shape, rows[body_sel], cols[body_sel], vals[body_sel]
         )
-        body = build_ellx_plan(build_block_plan(body_coo, block_h=block_h))
+        fmt = body_format
+        if fmt == "auto":
+            fmt = _pick_body_format(body_coo)
+        if fmt == "routed":
+            from hispmv_tpu.plan.routed import build_routed_plan
+
+            body = build_routed_plan(body_coo)
+        else:
+            body = build_ellx_plan(
+                build_block_plan(body_coo, block_h=block_h)
+            )
 
     return SplitPlan(
         shape=coo.shape,
@@ -171,10 +217,16 @@ def split_matvec_numpy(plan: SplitPlan, x: np.ndarray) -> np.ndarray:
             np.float64
         ) @ x.astype(np.float64)
         y[plan.hub_row_idx] += yr
-    if plan.body is not None:
+    if isinstance(plan.body, EllxPlan):
         from hispmv_tpu.ops.spmv_ellx import ellx_matvec_numpy
 
         y += ellx_matvec_numpy(plan.body, x.astype(np.float32)).astype(
+            np.float64
+        )
+    elif plan.body is not None:  # RoutedPlan (incl. its residual)
+        from hispmv_tpu.plan.routed import routed_matvec_numpy
+
+        y += routed_matvec_numpy(plan.body, x.astype(np.float32)).astype(
             np.float64
         )
     return y.astype(np.float32)

@@ -72,11 +72,16 @@ def test_split_nnz_partition_exact():
     plan = build_split_plan(coo, block_h=1)
     hc = int(np.count_nonzero(plan.hub_col_dense)) if plan.hub_col_dense is not None else 0
     hr = int(np.count_nonzero(plan.hub_row_dense)) if plan.hub_row_dense is not None else 0
+    from hispmv_tpu.ops.spmv_ellx import EllxPlan
+
     body = 0
-    if plan.body is not None:
+    if isinstance(plan.body, EllxPlan):
         body = int(np.count_nonzero(plan.body.base_data))
         if plan.body.overflow is not None:
             body += int(np.count_nonzero(plan.body.overflow.data))
+    elif plan.body is not None:  # RoutedPlan
+        body = int(np.count_nonzero(plan.body.vals))
+        body += len(plan.body.residual_vals)
     # duplicate coordinates merge in COO; count distinct coords
     assert hc + hr + body == coo.nnz
 
@@ -99,3 +104,40 @@ def test_ellx_and_split_plan_serialization_roundtrip(tmp_path):
         np.testing.assert_allclose(
             np.asarray(h.run(x)), want, rtol=1e-3, atol=1e-4
         )
+
+
+def test_split_with_routed_body():
+    """Banded body + Zipf hubs: the split planner must pick the routed
+    body and the handle must execute the full stack correctly."""
+    from hispmv_tpu.formats.synth import banded_coo
+    from hispmv_tpu.formats.matrix import COOMatrix
+    from hispmv_tpu.plan.routed import RoutedPlan
+
+    base = banded_coo(4000, 4000, 80_000, seed=60)
+    rng = np.random.default_rng(61)
+    # add 4 dense hub rows + 4 dense hub cols
+    hr = rng.choice(4000, 4, replace=False)
+    hc = rng.choice(4000, 4, replace=False)
+    r = np.concatenate([base.rows] + [np.full(2000, h) for h in hr]
+                       + [rng.integers(0, 4000, 2000) for _ in hc])
+    c = np.concatenate([base.cols] + [rng.integers(0, 4000, 2000) for _ in hr]
+                       + [np.full(2000, h) for h in hc])
+    v = rng.standard_normal(len(r)).astype(np.float32)
+    key = r * 4000 + c
+    _, idx = np.unique(key, return_index=True)
+    coo = COOMatrix((4000, 4000), r[idx], c[idx], v[idx])
+
+    plan = build_split_plan(coo, body_format="routed")
+    assert isinstance(plan.body, RoutedPlan)
+    x = rng.standard_normal(4000).astype(np.float32)
+    np.testing.assert_allclose(
+        split_matvec_numpy(plan, x), golden(coo, x), rtol=1e-3, atol=1e-3
+    )
+    h = SpmvHandle.from_plan(plan)
+    np.testing.assert_allclose(
+        np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-3
+    )
+    h2 = SpmvHandle(coo, format="split")
+    np.testing.assert_allclose(
+        np.asarray(h2.run(x)), golden(coo, x), rtol=1e-3, atol=1e-3
+    )
