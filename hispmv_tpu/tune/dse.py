@@ -327,10 +327,33 @@ class DSE:
                 k = choose_k_base(counts, 1)
                 base_b = R * k * (LANES * 4 + 4)
                 ov = int(np.maximum(counts - k, 0).sum())
+                # routed body alternative (build_split_plan body="auto"
+                # makes the same choice at plan time)
+                from hispmv_tpu.plan.routed import TILE as _RT
+                from hispmv_tpu.plan.routed import WINDOW as _RW
+
+                nwin_b = max(-(-C // _RW), 1)
+                gk = (
+                    (coo.rows[body_sel].astype(np.int64) // _RW) * nwin_b
+                    + coo.cols[body_sel] // _RW
+                )
+                _, gc = np.unique(gk, return_counts=True)
+                bigg = gc >= 16
+                bt = int((-(-gc[bigg] // _RT)).sum())
+                br = int(gc[~bigg].sum())
+                bfill = int(gc[bigg].sum()) / max(bt * _RT, 1)
+                lsc = 1.0 if bfill > 0.7 else (1.7 if bfill > 0.4 else 3.0)
+                t_rb = self.model.routed_seconds(
+                    int(bt * lsc), bt * 1024 * 36, br, R, C
+                ) if bt else float("inf")
             else:
-                base_b, ov = 0, 0
+                base_b, ov, t_rb = 0, 0, float("inf")
             if self.model.fits(hub_b + base_b):
-                t = self.model.split_seconds(hub_b, base_b, ov, R, C)
+                t_eb = self.model.split_seconds(hub_b, base_b, ov, R, C)
+                hub_t = hub_b / (
+                    self.model.p.hbm_gbps * 1e9 * self.model.p.dense_efficiency
+                )
+                t = min(t_eb, hub_t + t_rb + self.model.p.launch_overhead_s)
                 cands.append(
                     ("split", t, dataclasses.replace(base, block_h=1))
                 )
