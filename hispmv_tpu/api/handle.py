@@ -105,8 +105,7 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
         x = jnp.pad(x, (0, need - x.shape[0]))
     arrs = tuple(
         d[prefix + n]
-        for n in ("vals", "lane1", "sub1", "bla", "bsa", "blb", "bsb",
-                  "win", "byt")
+        for n in ("vals", "route", "rsub", "bl", "bs", "win", "byt")
     )
     y2d = spmv_routed_pallas(
         arrs, x.reshape(-1, LANES), nytp, l1p, lp,
@@ -504,8 +503,7 @@ class SpmvHandle:
         packed = pack_routed(plan, tchunk=tchunk)
         # canonicalized dims (pow-2 buckets -> shared compiled kernels)
         nch, l1p, lp = packed[-1]
-        names = ("vals", "lane1", "sub1", "bla", "bsa", "blb", "bsb",
-                 "win", "byt")
+        names = ("vals", "route", "rsub", "bl", "bs", "win", "byt")
         for n, a in zip(names, packed[:-1]):
             d[prefix + n] = jnp.asarray(a)
         meta = {

@@ -47,20 +47,55 @@ def _bucket(n: int) -> int:
 def pack_routed(
     plan: RoutedPlan, tchunk: int = DEFAULT_TCHUNK, bucket: bool = True
 ):
-    """Pad the tile stream to whole chunks; flatten per-tile arrays to
-    2D-tileable layouts.  With ``bucket`` (default), the chunk count and
-    layer counts are rounded to powers of two so differently-sized
-    matrices share one compiled kernel: padding chunks/layers are all-zero
-    (valid bits 0, vals 0) and contribute nothing.
+    """Pad the tile stream to whole chunks and COMPRESS the routing into
+    int32 bitfields (the stream is the cost: 12 B/slot for pass 1
+    regardless of gather layers + 8 B/slot per boundary layer, vs 12*L1 +
+    16*L uncompressed):
 
-    Returns device-ready numpy arrays + (nch, l1p, lp)."""
+    - ``vals``  f32: the slot's value (one nonzero per slot — its gather
+      layer is selected by the rank bits, not by separate value arrays);
+    - ``route`` i32 per slot: lane_l << (7*l) for l < 4 | rank << 28;
+    - ``rsub``  i32 per SOURCE lane: sub_l << (3*l) for l < 4;
+    - ``bl``    i32 per out slot, per boundary layer:
+                a_lane | a_valid<<7 | b_lane<<8 | b_valid<<15;
+    - ``bs``    i32 per source lane, per layer: a_sub | b_sub<<4.
+
+    With ``bucket`` (default), chunk and layer counts are rounded to
+    powers of two so differently-sized matrices share one compiled kernel
+    (padding is all-zero and contributes nothing).
+
+    Returns (vals, route, rsub, bl, bs, win, byt, (nch, l1p, lp))."""
     T = plan.num_tiles
     nch = max(-(-T // tchunk), 1)
     L1, L = plan.l1, plan.lmax
-    l1p, lp = (L1, L) if not bucket else (_bucket(L1), _bucket(L))
+    assert L1 <= 4, L1
+    lp = L if not bucket else _bucket(L)
+    # pass-1 layers ride in the bitfields; l1p only sets the kernel's
+    # static unpack-loop count (bucketed for compile sharing)
+    l1p = L1 if not bucket else _bucket(L1)
     if bucket:
         nch = _bucket(nch)
     Tp = nch * tchunk
+
+    # pass-1 bitfields
+    route = np.zeros((T, 8, LANES), np.int32)
+    rsub = np.zeros((T, 8, LANES), np.int32)
+    vals = np.zeros((T, 8, LANES), np.float32)
+    for l in range(L1):
+        sel = plan.vals[:, l] != 0.0
+        vals = np.where(sel, plan.vals[:, l], vals)
+        route |= np.where(sel, l << 28, 0).astype(np.int32)
+        route |= (plan.lane1[:, l] << (7 * l)).astype(np.int32)
+        rsub |= (plan.sub1[:, l] << (3 * l)).astype(np.int32)
+
+    bl = (
+        plan.blane.astype(np.int64)
+        | (plan.blane_b.astype(np.int64) << 8)
+    ).astype(np.int32)
+    bs = (
+        plan.bsub.astype(np.int64)
+        | (plan.bsub_b.astype(np.int64) << 4)
+    ).astype(np.int32)
 
     def padTL(a, lpad):
         out = np.zeros((Tp, lpad) + a.shape[2:], a.dtype)
@@ -72,28 +107,24 @@ def pack_routed(
         out[:T] = a
         return out
 
-    vals = padTL(plan.vals, l1p).reshape(nch, tchunk * l1p * 8, LANES)
-    lane1 = padTL(plan.lane1, l1p).reshape(nch, tchunk * l1p * 8, LANES)
-    sub1 = padTL(plan.sub1, l1p).reshape(nch, tchunk * l1p * 8, LANES)
-    bl_a = padTL(plan.blane, lp).reshape(nch, tchunk * lp * 8, LANES)
-    bs_a = padTL(plan.bsub, lp).reshape(nch, tchunk * lp * 8, LANES)
-    bl_b = padTL(plan.blane_b, lp).reshape(nch, tchunk * lp * 8, LANES)
-    bs_b = padTL(plan.bsub_b, lp).reshape(nch, tchunk * lp * 8, LANES)
+    vals = padT(vals).reshape(nch, tchunk * 8, LANES)
+    route = padT(route).reshape(nch, tchunk * 8, LANES)
+    rsub = padT(rsub).reshape(nch, tchunk * 8, LANES)
+    bl = padTL(bl, lp).reshape(nch, tchunk * lp * 8, LANES)
+    bs = padTL(bs, lp).reshape(nch, tchunk * lp * 8, LANES)
     win = padT(plan.win)
     byt = padT(plan.byt)
-    return vals, lane1, sub1, bl_a, bs_a, bl_b, bs_b, win, byt, (nch, l1p, lp)
+    return vals, route, rsub, bl, bs, win, byt, (nch, l1p, lp)
 
 
 def _routed_kernel(
     win_ref,  # i32 [Tp] scalar prefetch: x window per tile
     byt_ref,  # i32 [Tp] scalar prefetch: y tile per tile
-    vals_ref,  # f32 [1, tchunk*L1*8, 128]
-    lane1_ref,  # i32 [1, tchunk*L1*8, 128]
-    sub1_ref,  # i32 [1, tchunk*L1*8, 128]
-    bla_ref,  # i32 [1, tchunk*L*8, 128]
-    bsa_ref,  # i32 [1, tchunk*L*8, 128]
-    blb_ref,  # i32 [1, tchunk*L*8, 128]
-    bsb_ref,  # i32 [1, tchunk*L*8, 128]
+    vals_ref,  # f32 [1, tchunk*8, 128] slot values
+    route_ref,  # i32 [1, tchunk*8, 128] packed lanes (7b x 4) | rank<<28
+    rsub_ref,  # i32 [1, tchunk*8, 128] packed subs (3b x 4) by source lane
+    bl_ref,  # i32 [1, tchunk*L*8, 128] a_lane|av<<7|b_lane<<8|bv<<15
+    bs_ref,  # i32 [1, tchunk*L*8, 128] a_sub | b_sub<<4 by source lane
     x_ref,  # f32 [nwin*8, 128] resident
     y_ref,  # f32 [nyt*8, 128] resident accumulator output
     *,
@@ -124,15 +155,18 @@ def _routed_kernel(
     def products(j):
         w = win_ref[i * tchunk + j]
         win8 = x_ref[pl.ds(w * 8, 8), :]
-        p = jnp.zeros((8, LANES), jnp.float32)
+        route = route_ref[0, j * 8 : (j + 1) * 8, :]
+        rsub = rsub_ref[0, j * 8 : (j + 1) * 8, :]
+        vals = vals_ref[0, j * 8 : (j + 1) * 8, :]
+        rank = jax.lax.shift_right_logical(route, 28)
+        xg = jnp.zeros((8, LANES), jnp.float32)
         for l in range(l1):
-            off = (j * l1 + l) * 8
-            sub = sub1_ref[0, off : off + 8, :]
-            lane = lane1_ref[0, off : off + 8, :]
+            lane = jax.lax.shift_right_logical(route, 7 * l) & 127
+            sub = jax.lax.shift_right_logical(rsub, 3 * l) & 7
             t1 = jnp.take_along_axis(win8, sub, axis=0)
-            xg = jnp.take_along_axis(t1, lane, axis=1)
-            p = p + vals_ref[0, off : off + 8, :] * xg
-        return p
+            g = jnp.take_along_axis(t1, lane, axis=1)
+            xg = jnp.where(rank == l, g, xg)
+        return vals * xg
 
     pall = jnp.concatenate(
         [products(j) for j in range(tchunk)], axis=0
@@ -159,23 +193,29 @@ def _routed_kernel(
         yacc = jnp.zeros((8, LANES), jnp.float32)
         for k in range(lmax):
             off = (j * lmax + k) * 8
-            rawa = bla_ref[0, off : off + 8, :]
-            suba = bsa_ref[0, off : off + 8, :]
+            raw = bl_ref[0, off : off + 8, :]
+            subs = bs_ref[0, off : off + 8, :]
             ga = jnp.take_along_axis(
-                jnp.take_along_axis(pf, suba, axis=0), rawa & 127, axis=1
-            ) * (rawa >> 7).astype(jnp.float32)
-            rawb = blb_ref[0, off : off + 8, :]
-            subb = bsb_ref[0, off : off + 8, :]
+                jnp.take_along_axis(pf, subs & 7, axis=0),
+                raw & 127, axis=1,
+            ) * (jax.lax.shift_right_logical(raw, 7) & 1).astype(
+                jnp.float32
+            )
             gb = jnp.take_along_axis(
-                jnp.take_along_axis(pf, subb, axis=0), rawb & 127, axis=1
-            ) * (rawb >> 7).astype(jnp.float32)
+                jnp.take_along_axis(
+                    pf, jax.lax.shift_right_logical(subs, 4) & 7, axis=0
+                ),
+                jax.lax.shift_right_logical(raw, 8) & 127, axis=1,
+            ) * (jax.lax.shift_right_logical(raw, 15) & 1).astype(
+                jnp.float32
+            )
             yacc = yacc + ga - gb
         prev = y_ref[pl.ds(b * 8, 8), :]
         y_ref[pl.ds(b * 8, 8), :] = prev + yacc
 
 
 def spmv_routed_pallas(
-    packed,  # output of pack_routed (numpy or jax arrays) minus nch
+    packed,  # arrays from pack_routed (minus the dims tuple)
     x2d: jax.Array,  # f32 [nwin*8, 128]
     num_ytiles: int,
     l1: int,
@@ -185,7 +225,7 @@ def spmv_routed_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Run the routed stream; returns y f32 [nyt*8, 128]."""
-    vals, lane1, sub1, bla, bsa, blb, bsb, win, byt = packed
+    vals, route, rsub, bl, bs, win, byt = packed
     nch = vals.shape[0]
 
     def spec(rows):
@@ -195,14 +235,14 @@ def spmv_routed_pallas(
             memory_space=pltpu.VMEM,
         )
 
-    r1 = tchunk * l1 * 8
+    r1 = tchunk * 8
     rL = tchunk * lmax * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nch,),
         in_specs=[
             spec(r1), spec(r1), spec(r1),
-            spec(rL), spec(rL), spec(rL), spec(rL),
+            spec(rL), spec(rL),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
         ],
         out_specs=pl.BlockSpec(
@@ -215,7 +255,7 @@ def spmv_routed_pallas(
         _routed_kernel, tchunk=tchunk, l1=l1, lmax=lmax
     )
     nbytes = sum(int(a.size) * a.dtype.itemsize for a in
-                 (vals, lane1, sub1, bla, bsa, blb, bsb))
+                 (vals, route, rsub, bl, bs))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -228,4 +268,4 @@ def spmv_routed_pallas(
             bytes_accessed=nbytes + x2d.size * 4,
             transcendentals=0,
         ),
-    )(win, byt, vals, lane1, sub1, bla, bsa, blb, bsb, x2d)
+    )(win, byt, vals, route, rsub, bl, bs, x2d)

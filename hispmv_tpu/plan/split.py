@@ -109,12 +109,18 @@ def _pick_body_format(body: COOMatrix) -> str:
     t_routed = tiles * 1.1e-7 * layer_scale + min(
         resid * 1.6e-8, R * 516 / 450e9
     )
-    # ELLX body cost ~ rows * k * 516 B at the fused rate (k ~= mean units)
-    units = len(np.unique(
+    # ELLX body cost: actual base-K choice + overflow time
+    from hispmv_tpu.ops.spmv_ellx import choose_k_base
+
+    uk = np.unique(
         body.rows.astype(np.int64) * (C // 128 + 1) + body.cols // 128
-    ))
-    k_est = max(-(-units // max(R, 1)), 1)
-    t_ellx = R * k_est * 516 / 450e9
+    )
+    counts = np.bincount(
+        (uk // (C // 128 + 1)).astype(np.int64), minlength=R
+    )
+    k = choose_k_base(counts, 1)
+    ov = int(np.maximum(counts - k, 0).sum())
+    t_ellx = R * k * 516 / 450e9 + ov * 4.5e-8
     return "routed" if tiles and t_routed < t_ellx else "ellx"
 
 
