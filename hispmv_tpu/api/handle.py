@@ -533,7 +533,10 @@ class SpmvHandle:
                     shape, plan.residual_rows, plan.residual_cols,
                     plan.residual_vals,
                 )
-                eplan = build_ellx_plan(build_block_plan(res, block_h=1))
+                eplan = build_ellx_plan(
+                    build_block_plan(res, block_h=1),
+                    max_base_bytes=2 << 30,
+                )
                 meta["res"] = eplan
                 d[prefix + "r_base_data"] = jnp.asarray(eplan.base_data)
                 d[prefix + "r_base_cols"] = jnp.asarray(eplan.base_cols)

@@ -99,14 +99,23 @@ def choose_k_base(counts: np.ndarray, block_h: int) -> int:
 
 
 def build_ellx_plan(
-    plan: BlockPlan, k_base: Optional[int] = None
+    plan: BlockPlan,
+    k_base: Optional[int] = None,
+    max_base_bytes: Optional[int] = None,
 ) -> EllxPlan:
-    """Convert a sorted BlockPlan into base-K ELL arrays + overflow."""
+    """Convert a sorted BlockPlan into base-K ELL arrays + overflow.
+
+    ``max_base_bytes`` caps the base array (residual executors for huge
+    matrices must not claim gigabytes just because the cost model would
+    prefer a bigger K)."""
     nrb = plan.num_row_blocks
     bh = plan.block_h
     counts = np.bincount(plan.block_rows, minlength=nrb)
     if k_base is None:
         k_base = choose_k_base(counts, bh)
+    if max_base_bytes is not None:
+        per_k = max(nrb * (bh * LANES * 4 + 4), 1)
+        k_base = max(1, min(int(k_base), max_base_bytes // per_k))
 
     starts = np.concatenate([[0], np.cumsum(counts)])
     take = np.minimum(counts, k_base)

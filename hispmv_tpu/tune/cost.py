@@ -42,7 +42,7 @@ class DeviceProfile:
     dense_efficiency: float = 0.90  # plain matmul row streaming
     launch_overhead_s: float = 3e-6  # on-device dispatch per kernel
     vmem_bytes: int = 64 * 2**20  # usable VMEM ceiling (conservative)
-    hbm_bytes: int = 12 * 2**30  # usable HBM for resident plans
+    hbm_bytes: int = 14 * 2**30  # usable HBM for resident plans
     # fused XLA ELL executor (gather+multiply+reduce in one HBM pass):
     # measured 437-684 GB/s on the v5e (2026-08 round-2 microbench)
     ellx_gbps: float = 500.0
@@ -165,11 +165,11 @@ class CostModel:
         ) + self.p.launch_overhead_s
         if residual_nnz:
             # small residual -> element scatter (~16 ns/nnz); large ->
-            # row-granular ELLX base over the full row space
-            t += min(
-                residual_nnz * 1.6e-8,
-                rows * (128 * 4 + 4) / (self.p.ellx_gbps * 1e9),
-            )
+            # row-granular ELLX (base over the full row space + overflow
+            # for rows with multiple residual units)
+            t_ellx = rows * (128 * 4 + 4) / (self.p.ellx_gbps * 1e9)
+            t_ellx += max(residual_nnz - rows, 0) * self.p.block_step_overhead_s
+            t += min(residual_nnz * 1.6e-8, t_ellx)
         return t
 
     def split_seconds(

@@ -344,7 +344,7 @@ class DSE:
                 bfill = int(gc[bigg].sum()) / max(bt * _RT, 1)
                 lsc = 1.0 if bfill > 0.7 else (1.7 if bfill > 0.4 else 3.0)
                 t_rb = self.model.routed_seconds(
-                    int(bt * lsc), bt * 1024 * 36, br, R, C
+                    int(bt * lsc), bt * 1024 * 28, br, R, C
                 ) if bt else float("inf")
             else:
                 base_b, ov, t_rb = 0, 0, float("inf")
@@ -381,7 +381,7 @@ class DSE:
             l1_est = 1 if r_fill > 0.7 else (2 if r_fill > 0.4 else 4)
             L_est = 2 if r_fill > 0.7 else (3 if r_fill > 0.4 else 5)
             layer_scale = (l1_est + L_est) / 3.0
-            r_bytes = r_tiles * 1024 * (12 * l1_est + 16 * L_est)
+            r_bytes = r_tiles * 1024 * (12 + 8 * L_est)
             if self.model.fits(r_bytes):
                 t = self.model.routed_seconds(
                     int(r_tiles * layer_scale), r_bytes, r_resid, R, C,
