@@ -168,7 +168,17 @@ def bench_spmv(
     run = _load_or_compile(run_fn, exec_cache, kargs, carry0)
 
     n_lo, n_hi = n_pair
-    carry, chk = run(kargs, carry0, 0.0, jnp.int32(n_lo))
+    try:
+        carry, chk = run(kargs, carry0, 0.0, jnp.int32(n_lo))
+    except TypeError:
+        # stale serialized executable (argument pytree changed between
+        # versions): recompile fresh and overwrite the cache
+        import os as _os
+
+        if exec_cache and _os.path.exists(exec_cache):
+            _os.remove(exec_cache)
+        run = _load_or_compile(run_fn, exec_cache, kargs, carry0)
+        carry, chk = run(kargs, carry0, 0.0, jnp.int32(n_lo))
     float(chk)
     y_out = np.asarray(carry[2])
 
