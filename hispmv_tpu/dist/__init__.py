@@ -1,3 +1,4 @@
+from hispmv_tpu.dist.init import init_distributed  # noqa: F401
 from hispmv_tpu.dist.shard import (  # noqa: F401
     ShardedBlockPlan,
     ShardedWindowPlan,

@@ -147,3 +147,12 @@ def test_sharded_chunked_powerlaw_balance():
         )
     )
     np.testing.assert_allclose(y, want, rtol=1e-3, atol=1e-4)
+
+
+def test_init_distributed_single_process_noop():
+    from hispmv_tpu.dist import init_distributed
+
+    # no coordinator configured: must be a no-op returning False, and must
+    # stay callable repeatedly
+    assert init_distributed() is False
+    assert init_distributed() is False
