@@ -16,15 +16,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Scale overrides keep single-chip VMEM-resident x+y and sane prep times for
-# the largest power-law fixtures (noted in output; remove on bigger chips).
-SCALE = {
-    "soc-Pokec": 0.15,
-    "PFlow_742": 0.5,
-    "ASIC_680k": 0.5,
-    "boyd2": 0.5,
-    "mouse_gene": 1.0,
-}
+# Scale overrides (round 1 needed them for VMEM-resident x+y; the round-2
+# tiled/ellx/routed paths run every fixture at full scale).
+SCALE = {}
 
 ALL = [
     "TSOPF_RS_b2383", "mouse_gene", "nd6k", "crankseg_2", "thread",
