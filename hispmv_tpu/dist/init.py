@@ -51,16 +51,25 @@ def init_distributed(
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
     explicit = coordinator_address is not None
-    auto_pod = os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get(
-        "MEGASCALE_COORDINATOR_ADDRESS"
+    # A pod launcher sets TPU_WORKER_HOSTNAMES to the full worker list; a
+    # single-entry value (e.g. "localhost" from single-chip runtimes) is
+    # NOT a pod.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    auto_pod = len([w for w in workers.split(",") if w.strip()]) > 1 or (
+        os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") is not None
     )
     if not explicit and not auto_pod:
         return False  # single-process: nothing to initialize
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError):
+        if explicit:
+            raise  # the caller asked for a specific cluster: surface it
+        return False  # auto-detection came up empty: stay single-process
     _initialized = True
     return jax.process_count() > 1
