@@ -96,22 +96,32 @@ def _extend_perm(col_perm: np.ndarray, num_cols: int, target: int) -> np.ndarray
 def _run_routed_part(d, x, R, meta, prefix, interp):
     """Execute a routed-stream plan (+ its residual) from device dict ``d``
     with key ``prefix``; returns y[:R].  Shared by the 'routed' format and
-    the split format's routed body."""
-    from hispmv_tpu.ops.spmv_routed import spmv_routed_pallas
+    the split format's routed body.  Each cost-class stream runs its own
+    kernel (light tiles are not charged heavy tiles' layers); their y
+    tiles are summed."""
+    from hispmv_tpu.ops.spmv_routed import spmv_routed_stream_pallas
 
-    l1p, lp, nwinp, nytp = meta["dims"]
+    nwinp, nytp = meta["nwinp"], meta["nytp"]
     need = nwinp * 1024
     if x.shape[0] < need:
         x = jnp.pad(x, (0, need - x.shape[0]))
-    arrs = tuple(
-        d[prefix + n]
-        for n in ("vals", "route", "rsub", "bl", "bs", "win", "byt")
-    )
-    y2d = spmv_routed_pallas(
-        arrs, x.reshape(-1, LANES), nytp, l1p, lp,
-        tchunk=meta["tchunk"], interpret=interp,
-    )
-    y = y2d.reshape(-1)[:R]
+    x2d = x.reshape(-1, LANES)
+    y2d = None
+    for i, sm in enumerate(meta["streams"]):
+        names = (
+            ("vals", "route", "route2", "rsub", "bl", "bs")
+            if sm["has_route2"] else ("vals", "route", "rsub", "bl", "bs")
+        )
+        p = prefix + f"s{i}_"
+        packed = tuple(d[p + n] for n in names) + (d[p + "win"], d[p + "byt"])
+        ys = spmv_routed_stream_pallas(
+            packed, sm["dims"], x2d, nytp, interpret=interp,
+        )
+        y2d = ys if y2d is None else y2d + ys
+    if y2d is None:
+        y = jnp.zeros((R,), jnp.float32)
+    else:
+        y = y2d.reshape(-1)[:R]
     if (prefix + "r_rows") in d:  # small residual: element scatter
         contrib = d[prefix + "r_vals"] * jnp.take(
             x, d[prefix + "r_cols"], axis=0
@@ -493,23 +503,24 @@ class SpmvHandle:
         """Pack a RoutedPlan (+ residual executor) into device dict ``d``
         under ``prefix``; returns the static meta the runner needs."""
         from hispmv_tpu.formats.matrix import COOMatrix as _COO
-        from hispmv_tpu.ops.spmv_routed import (
-            DEFAULT_TCHUNK,
-            _bucket,
-            pack_routed,
-        )
+        from hispmv_tpu.ops.spmv_routed import _bucket, pack_stream
 
-        tchunk = DEFAULT_TCHUNK
-        packed = pack_routed(plan, tchunk=tchunk)
-        # canonicalized dims (pow-2 buckets -> shared compiled kernels)
-        nch, l1p, lp = packed[-1]
-        names = ("vals", "route", "rsub", "bl", "bs", "win", "byt")
-        for n, a in zip(names, packed[:-1]):
-            d[prefix + n] = jnp.asarray(a)
+        streams_meta = []
+        for i, s in enumerate(plan.streams):
+            packed, dims = pack_stream(s)
+            has_route2 = len(packed) == 8
+            names = (
+                ("vals", "route", "route2", "rsub", "bl", "bs")
+                if has_route2 else ("vals", "route", "rsub", "bl", "bs")
+            ) + ("win", "byt")
+            for n, a in zip(names, packed):
+                d[prefix + f"s{i}_" + n] = jnp.asarray(a)
+            streams_meta.append({"dims": dims, "has_route2": has_route2})
         meta = {
-            "dims": (l1p, lp, _bucket(plan.num_windows),
-                     _bucket(plan.num_ytiles)),
-            "tchunk": tchunk,
+            "streams": streams_meta,
+            # pow-2 buckets -> shared compiled kernels across matrices
+            "nwinp": _bucket(plan.num_windows),
+            "nytp": _bucket(plan.num_ytiles),
             "res": None,
             "res_coo": False,
             "res_ov": 0,
@@ -620,7 +631,7 @@ class SpmvHandle:
         if self.format == "routed":
             from hispmv_tpu.plan.routed import WINDOW as RW
 
-            return self._routed_meta["dims"][2] * RW
+            return self._routed_meta["nwinp"] * RW
         if self.format == "window":
             from hispmv_tpu.plan.windows import SEGS
 

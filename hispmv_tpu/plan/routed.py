@@ -1,34 +1,60 @@
 """Routed-stream planner: per-nnz vectorized SpMV with plan-time routing.
 
-THE load-balance/crossbar answer for scattered matrices, round 2.  Every
-other format pays either ~4 KiB of payload per touched (block, window)
-unit or ~1.8 ns per gathered unit — both collapse when units ~= nnz.  This
-format processes nnz at VECTOR rate with ~16-36 B/nnz of stream traffic by
-resolving ALL routing at plan time (the role the reference's butterfly
-crossbar + out-of-order scheduler play in hardware,
-base_functions.cpp:356-436 + spmv-helper.cpp:429-515):
+THE load-balance/crossbar answer for scattered matrices (round 2, upgraded
+in-round).  Every other format pays either ~4 KiB of payload per touched
+(block, window) unit or ~1.8 ns per gathered unit — both collapse when
+units ~= nnz.  This format processes nnz at VECTOR rate by resolving ALL
+routing at plan time (the role the reference's butterfly crossbar +
+out-of-order scheduler play in hardware, base_functions.cpp:356-436 +
+spmv-helper.cpp:429-515):
 
-- nnz are sorted by (1024-row band, 1024-column window, row) and packed
-  into (8,128) tiles of 1024 SLOTS — one tile reads ONE (8,128) x window
-  slice and accumulates into ONE (8,128) y tile;
-- pass 1 (x gather): slot (s,j) reads x[win*1024 + sub*128 + lane] via the
-  two supported in-tile gathers — a sublane take_along_axis composed with
-  a lane take_along_axis: out[s,j] = win8[sub1[s, lane1[s,j]], lane1[s,j]].
-  The planner guarantees the composition is consistent (per payload row
-  and source lane, one distinct source sublane); conflicting nnz (a few
-  percent) are evicted to a COO residual handled by the caller;
-- pass 2 (segmented reduce): products are prefix-summed over the flat tile
-  order (lane prefix via a triangular MXU matmul + sublane carry), and
-  each row-run's sum is extracted as P'[end] - P'[start-1];
-- pass 3 (y accumulate): boundary values are routed straight into y tile
-  slots by further plan-built gather LAYERS: layer k of a tile is one
-  (8,128) two-level gather from the prefix tile, signed (+end / -start),
-  added into y rows [yt*1024, yt*1024+1024).  A row spanning several tiles
-  or windows simply accumulates multiple partials.
+- nnz are sorted by (column strip, row, col) where a STRIP is
+  ``strip_windows`` (default 4) consecutive 1024-column windows, and packed
+  densely into (8,128) tiles of 1024 SLOTS.  Unlike the first routed
+  design (one (row-band, window) group per tile), a tile may gather from
+  up to ``l1`` different x windows (each pass-1 LAYER carries its own
+  window id) and scatter boundary sums into up to ``lmax`` different y
+  tiles (each pass-3 layer carries its own y-tile id).  Scattered
+  matrices whose (band, window) cells hold only tens of nonzeros — the
+  power-law / circuit / NLP classes that previously fell to the 16 ns/nnz
+  element-scatter residual — now pack at high fill: measured per-tile
+  cost is ~61.5 ns + ~3.4 ns per pass-1 layer + ~9.5 ns per boundary
+  layer (v5e, loop-slope), i.e. ~0.1-0.6 ns/nnz at realistic fills.
+- pass 1 (x gather): slot (s,j) reads x[win_l*1024 + sub*128 + lane] via
+  the two supported in-tile gathers — a sublane take_along_axis composed
+  with a lane take_along_axis from layer l's window slice.  The planner
+  guarantees the composition is consistent per layer (per payload row and
+  source lane, one distinct source sublane); layer = window chain base +
+  conflict rank.  Ranks beyond the layer budget are evicted to a COO
+  residual.
+- pass 2 (segmented reduce): products are prefix-summed over the flat
+  tile order (lane prefix via a triangular MXU matmul + sublane carry),
+  and each row-run's sum is extracted as P'[end] - P'[start-1].
+- pass 3 (y accumulate): boundary values are routed into y tiles by
+  per-layer (8,128) two-level gathers, signed (+end / -start); layer =
+  band chain base + conflict rank, each layer accumulating into its own
+  y tile.  A row spanning several tiles simply accumulates partials.
 
-Stream cost: vals 4 B + pass-1 route 8 B + ~2 signed layers ~16 B
-= ~28 B/nnz (before padding), all consumed by ~50 vector ops per 1024
-nnz — no per-nnz scalar work anywhere.
+Tiles whose modeled cost exceeds the element-scatter residual cost are
+demoted to the residual wholesale.  Remaining tiles are partitioned into
+up to ``max_streams`` cost classes (layer counts bucketed per class) so
+light tiles are not charged the heavy tiles' padded layers; each class is
+an independently executable stream.
+
+Streams are stored COMPRESSED (the stream is the cost):
+
+- ``vals``   f32 [T,8,128]: the slot's value;
+- ``route``  i32 [T,8,128]: lane_l << (7*(l%4)) for layers 0-3, plus the
+  slot's layer (rank) in bits 28-30;
+- ``route2`` i32 [T,8,128] (only when l1 > 4): lane_l << (7*(l-4)) for
+  layers 4-7;
+- ``rsub``   i32 [T,8,128] per SOURCE lane: sub_l << (3*l), layers 0-7;
+- ``bl``     i32 [T,ceil(L/2),8,128]: boundary lanes, two layers per
+  word — (a_lane | a_valid<<7 | b_lane<<8 | b_valid<<15) << (16*(k%2));
+- ``bs``     i32 [T,ceil(L/4),8,128] per source lane: four layers per
+  word — (a_sub | b_sub<<4) << (8*(k%4));
+- ``win``    i32 [T,l1]: x window per pass-1 layer;
+- ``byt``    i32 [T,L]: y tile per boundary layer.
 """
 
 from __future__ import annotations
@@ -43,36 +69,77 @@ from hispmv_tpu.formats.matrix import COOMatrix
 WINDOW = 1024  # columns per window = one (8,128) x tile
 TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 
+# Measured per-tile cost constants (v5e, loop-slope; see ROUND2 notes) used
+# for the tile-vs-residual demotion rule and stream classing.
+TILE_BASE_NS = 61.5
+TILE_L1_NS = 3.4
+TILE_BND_NS = 9.5
+RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
+
+L1_CAP = 8  # pass-1 layers (window chains + conflict ranks)
+L_CAP = 32  # boundary layers (band chains + conflict ranks)
+LAUNCH_NS = 3000.0  # per-stream kernel dispatch cost
+
+
+@dataclasses.dataclass
+class RoutedStream:
+    """One cost class of tiles, fully compressed (see module docstring)."""
+
+    num_tiles: int
+    l1: int  # pass-1 layers this stream's kernel unrolls
+    lmax: int  # boundary layers this stream's kernel unrolls
+    vals: np.ndarray  # f32 [T, 8, 128]
+    route: np.ndarray  # i32 [T, 8, 128]
+    route2: Optional[np.ndarray]  # i32 [T, 8, 128] when l1 > 4
+    rsub: np.ndarray  # i32 [T, 8, 128]
+    win: np.ndarray  # i32 [T, l1]
+    bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]
+    bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]
+    byt: np.ndarray  # i32 [T, lmax]
+
+    @property
+    def stream_bytes(self) -> int:
+        n = (
+            self.vals.nbytes + self.route.nbytes + self.rsub.nbytes
+            + self.bl.nbytes + self.bs.nbytes
+        )
+        if self.route2 is not None:
+            n += self.route2.nbytes
+        return n
+
 
 @dataclasses.dataclass
 class RoutedPlan:
     shape: tuple
     nnz: int
-    num_tiles: int
-    l1: int  # pass-1 gather layers
-    lmax: int  # pass-3 boundary layers
     num_windows: int
     num_ytiles: int
-    vals: np.ndarray  # f32 [T, L1, 8, 128] per-layer slot values
-    lane1: np.ndarray  # i32 [T, L1, 8, 128] pass-1 source lane per slot
-    sub1: np.ndarray  # i32 [T, L1, 8, 128] source sublane BY SOURCE LANE
-    win: np.ndarray  # i32 [T] window id per tile
-    blane: np.ndarray  # i32 [T, L, 8, 128] '+' source lane | valid<<7
-    bsub: np.ndarray  # i32 [T, L, 8, 128] '+' source sublane BY SOURCE LANE
-    blane_b: np.ndarray  # i32 [T, L, 8, 128] '-' source lane | valid<<7
-    bsub_b: np.ndarray  # i32 [T, L, 8, 128] '-' source sublane BY SRC LANE
-    byt: np.ndarray  # i32 [T] y tile (row band) per tile
-    residual_rows: np.ndarray  # conflict-evicted nnz (COO)
+    s0: Optional[RoutedStream]
+    s1: Optional[RoutedStream]
+    s2: Optional[RoutedStream]
+    residual_rows: np.ndarray  # demoted/evicted nnz (COO)
     residual_cols: np.ndarray
     residual_vals: np.ndarray
 
     @property
+    def streams(self):
+        return [s for s in (self.s0, self.s1, self.s2) if s is not None]
+
+    @property
+    def num_tiles(self) -> int:
+        return sum(s.num_tiles for s in self.streams)
+
+    @property
+    def l1(self) -> int:
+        return max((s.l1 for s in self.streams), default=1)
+
+    @property
+    def lmax(self) -> int:
+        return max((s.lmax for s in self.streams), default=1)
+
+    @property
     def stream_bytes(self) -> int:
-        return (
-            self.vals.nbytes + self.lane1.nbytes + self.sub1.nbytes
-            + self.blane.nbytes + self.bsub.nbytes
-            + self.blane_b.nbytes + self.bsub_b.nbytes
-        )
+        return sum(s.stream_bytes for s in self.streams)
 
     @property
     def fill(self) -> float:
@@ -80,8 +147,165 @@ class RoutedPlan:
         return (self.nnz - len(self.residual_vals)) / max(slots, 1)
 
 
+def _distinct_sub_rank(group: np.ndarray, sub: np.ndarray) -> np.ndarray:
+    """Per entry: how many DISTINCT sub values precede it in its group
+    (0 when its (group, sub) pair has been seen — entries sharing a pair
+    share a rank).  Used for conflict layering: a (payload row, source
+    lane) pair can serve one source sublane per gather layer."""
+    key = group * 8 + sub  # sub < 8: one combined sort beats a lexsort
+    o = np.argsort(key, kind="stable")
+    k_s = key[o]
+    new_s = np.ones(len(o), bool)
+    new_s[1:] = k_s[1:] != k_s[:-1]
+    new_g = np.ones(len(o), bool)
+    new_g[1:] = (k_s[1:] >> 3) != (k_s[:-1] >> 3)
+    did = np.cumsum(new_s) - 1
+    fd = np.where(new_g, did, 0)
+    np.maximum.accumulate(fd, out=fd)
+    rank = np.empty(len(group), np.int64)
+    rank[o] = did - fd
+    return rank
+
+
+def _chain_bases(tile: np.ndarray, key: np.ndarray, need: np.ndarray,
+                 first_pos: np.ndarray):
+    """Per (tile, key) chain: exclusive cumulative layer base, chains
+    ordered by first appearance within the tile.
+
+    Args are per-CHAIN arrays (one row per unique (tile, key)); returns
+    (base, total) aligned with them plus per-tile totals."""
+    order = np.lexsort((first_pos, tile))
+    t_s, n_s = tile[order], need[order]
+    csum = np.cumsum(n_s)
+    new_t = np.ones(len(order), bool)
+    new_t[1:] = t_s[1:] != t_s[:-1]
+    start = np.where(new_t, csum - n_s, 0)
+    np.maximum.accumulate(start, out=start)
+    base_s = (csum - n_s) - start
+    base = np.empty(len(tile), np.int64)
+    base[order] = base_s
+    return base
+
+
+def estimate_routed_cost_ns(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    shape: tuple,
+    strip_windows: int = 4,
+    l_cap: int = L_CAP,
+) -> dict:
+    """Cheap (a few unique passes, no packing) estimate of a v2 routed
+    plan's cost for the model-only DSE: mirrors the planner's macro-cell
+    grouping + same-strip merging, estimating per-tile layer counts from
+    per-group window/band coverage.  Conflict-rank layers are approximated
+    by a flat +1 on each axis (calibrated against full plans on the suite
+    fixtures).  Returns {tiles, est_ns, stream_bytes, fill}."""
+    R, C = shape
+    n = len(rows)
+    if n == 0:
+        return {"tiles": 0, "est_ns": 0.0, "stream_bytes": 0, "fill": 1.0}
+    nwin = max(-(-C // WINDOW), 1)
+    nyt = max(-(-R // WINDOW), 1)
+    nbb = max(-(-nyt // l_cap), 1)
+    rows = rows.astype(np.int64, copy=False)
+    cols = cols.astype(np.int64, copy=False)
+    mcell = ((cols // WINDOW) // strip_windows) * nbb \
+        + (rows // WINDOW) // l_cap
+    uc, csz = np.unique(mcell, return_counts=True)
+    ub = np.unique(mcell * np.int64(nyt) + rows // WINDOW)
+    bc = np.bincount(np.searchsorted(uc, ub // nyt), minlength=len(uc))
+    uw = np.unique(mcell * np.int64(nwin) + cols // WINDOW)
+    wc = np.bincount(np.searchsorted(uc, uw // nwin), minlength=len(uc))
+    strip_of = uc // nbb
+    # same greedy same-strip merge as the planner
+    gid = np.empty(len(uc), np.int64)
+    g, cur_b, cur_s = -1, 0, -1
+    for i in range(len(uc)):
+        if strip_of[i] != cur_s or cur_b + bc[i] > l_cap:
+            g += 1
+            cur_b, cur_s = 0, strip_of[i]
+        gid[i] = g
+        cur_b += int(bc[i])
+    ng = g + 1
+    gsz = np.bincount(gid, weights=csz.astype(np.float64),
+                      minlength=ng).astype(np.int64)
+    gb = np.bincount(gid, weights=bc.astype(np.float64),
+                     minlength=ng)
+    gw = np.zeros(ng)
+    np.maximum.at(gw, gid, wc.astype(np.float64))
+    tiles_g = -(-gsz // TILE)
+    # per-tile layers: bands spread over the group's tiles (+1 seam/
+    # conflict allowance); windows shared by every tile of the strip
+    L_g = np.clip(np.ceil(gb / np.maximum(tiles_g, 1)) + 1, 1, l_cap)
+    l1_g = np.clip(gw + 1, 1, L1_CAP)
+    cost_g = tiles_g * (
+        TILE_BASE_NS
+        + TILE_L1_NS * (l1_g - 1)
+        + TILE_BND_NS * (L_g - 1)
+    )
+    # demotion: groups whose per-nnz cost exceeds the element residual
+    demote = cost_g > RESIDUAL_NS * gsz
+    est = float(cost_g[~demote].sum()) \
+        + RESIDUAL_NS * float(gsz[demote].sum()) + 2 * LAUNCH_NS
+    tiles = int(tiles_g[~demote].sum())
+    lbar = float((tiles_g[~demote] * L_g[~demote]).sum()) / max(tiles, 1)
+    stream_bytes = int(tiles * TILE * (12 + 8 * -(-lbar // 1)))
+    kept = int(gsz[~demote].sum())
+    return {
+        "tiles": tiles,
+        "est_ns": est,
+        "stream_bytes": stream_bytes,
+        "fill": kept / max(tiles * TILE, 1),
+        "residual": int(gsz[demote].sum()),
+    }
+
+
+def plan_cost_ns(plan: RoutedPlan) -> float:
+    """Modeled execution cost of a plan (measured v5e constants)."""
+    t = 0.0
+    for s in plan.streams:
+        t += LAUNCH_NS + s.num_tiles * (
+            TILE_BASE_NS
+            + TILE_L1_NS * (s.l1 - 1)
+            + TILE_BND_NS * (s.lmax - 1)
+        )
+    t += RESIDUAL_NS * len(plan.residual_vals)
+    return t
+
+
 def build_routed_plan(
-    coo: COOMatrix, min_group: int = 16
+    coo: COOMatrix,
+    strip_windows: int = 0,
+    l1_cap: int = L1_CAP,
+    l_cap: int = L_CAP,
+    max_streams: int = 3,
+) -> RoutedPlan:
+    """Build a routed plan; ``strip_windows=0`` (auto) starts at 4-window
+    strips and retries at 2 when pass-1 conflict eviction is heavy (dense
+    multi-window tiles can exceed the layer budget), keeping the plan
+    with the lower modeled cost."""
+    if strip_windows == 0:
+        plan = _build_routed_plan(coo, 4, l1_cap, l_cap, max_streams)
+        # retry with narrower strips when conflict eviction made the
+        # residual a significant share of the modeled cost (2-window
+        # strips leave twice the conflict-layer budget per window)
+        res_cost = RESIDUAL_NS * len(plan.residual_vals)
+        if res_cost > 0.10 * plan_cost_ns(plan):
+            alt = _build_routed_plan(coo, 2, l1_cap, l_cap, max_streams)
+            if plan_cost_ns(alt) < plan_cost_ns(plan):
+                return alt
+        return plan
+    return _build_routed_plan(
+        coo, strip_windows, l1_cap, l_cap, max_streams
+    )
+
+
+def _build_routed_plan(
+    coo: COOMatrix,
+    strip_windows: int,
+    l1_cap: int = L1_CAP,
+    l_cap: int = L_CAP,
+    max_streams: int = 3,
 ) -> RoutedPlan:
     R, C = coo.shape
     nwin = max(-(-C // WINDOW), 1)
@@ -91,62 +315,55 @@ def build_routed_plan(
     cols = coo.cols.astype(np.int64)
     vals = coo.values.astype(np.float32)
 
-    win = cols // WINDOW
-    band = rows // WINDOW
-    order = np.lexsort((cols, rows, win, band))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    win, band = win[order], band[order]
-
-    # ---- drop sparse (band, window) groups to the residual ---------------
-    # Uniform background noise creates thousands of near-empty groups
-    # (measured 100x tile fragmentation on circuit fixtures); groups with
-    # fewer than ``min_group`` nnz cost more as padded tiles (~170 ns
-    # each) than as residual entries (~16 ns/nnz element scatter).
-    gkey0 = band * nwin + win
-    _, gstart0, ginv = np.unique(
-        gkey0, return_index=True, return_inverse=True
-    )
-    gsize0 = np.diff(np.concatenate([gstart0, [len(rows)]]))
-    sparse_grp = gsize0[ginv] < min_group
-    res0_rows = rows[sparse_grp]
-    res0_cols = cols[sparse_grp]
-    res0_vals = vals[sparse_grp]
-    keep0 = ~sparse_grp
-    rows, cols, vals = rows[keep0], cols[keep0], vals[keep0]
-    win, band = win[keep0], band[keep0]
-
-    if len(rows) == 0:
-        # fully-residual degenerate plan: one empty tile
+    if coo.nnz == 0:
         return RoutedPlan(
-            shape=(R, C), nnz=coo.nnz, num_tiles=1, l1=1, lmax=1,
-            num_windows=nwin, num_ytiles=nyt,
-            vals=np.zeros((1, 1, 8, 128), np.float32),
-            lane1=np.zeros((1, 1, 8, 128), np.int32),
-            sub1=np.zeros((1, 1, 8, 128), np.int32),
-            win=np.zeros(1, np.int32),
-            blane=np.zeros((1, 1, 8, 128), np.int32),
-            bsub=np.zeros((1, 1, 8, 128), np.int32),
-            blane_b=np.zeros((1, 1, 8, 128), np.int32),
-            bsub_b=np.zeros((1, 1, 8, 128), np.int32),
-            byt=np.zeros(1, np.int32),
-            residual_rows=res0_rows, residual_cols=res0_cols,
-            residual_vals=res0_vals,
+            shape=(R, C), nnz=0, num_windows=nwin, num_ytiles=nyt,
+            s0=None, s1=None, s2=None,
+            residual_rows=rows, residual_cols=cols, residual_vals=vals,
         )
 
-    # ---- pad each (row band, window) group to whole tiles ---------------
-    # One group -> one x window AND one y tile: every tile reads one
-    # (8,128) x slice and writes one (8,128) y slice (lmax stays tiny).
-    gkey = band * nwin + win
-    _, gstart = np.unique(gkey, return_index=True)
-    gsize = np.diff(np.concatenate([gstart, [len(rows)]]))
-    gpad = -(-gsize // TILE) * TILE
-    T = int(gpad.sum() // TILE)
-    N = T * TILE
+    # macro cell = (column strip, block of l_cap row bands): padding tiles
+    # to cell boundaries caps both windows/tile (<= strip_windows) and
+    # bands/tile (<= l_cap) by construction
+    nbb = max(-(-nyt // l_cap), 1)
+    mcell = ((cols // WINDOW) // strip_windows) * nbb \
+        + (rows // WINDOW) // l_cap
+    order = np.lexsort((cols, rows, mcell))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    mcell = mcell[order]
 
-    # destination position of each real nnz in the padded stream
+    # ---- merge cells into tile groups, pad groups to whole tiles --------
+    # Cells of one STRIP share the <= strip_windows window budget, so
+    # consecutive same-strip cells can share tiles as long as their
+    # combined distinct-band count stays within the boundary-layer cap
+    # (only seam tiles mix bands; interior tiles keep their cell's).
+    # This is what keeps fill high when cells are much smaller than a
+    # tile (circuit/NLP classes: measured fill 0.31 -> ~0.9 on boyd2).
+    uc, sstart = np.unique(mcell, return_index=True)
+    ssize = np.diff(np.concatenate([sstart, [len(rows)]]))
+    ub = np.unique(mcell * np.int64(nyt) + rows // WINDOW)
+    bc = np.bincount(
+        np.searchsorted(uc, ub // nyt), minlength=len(uc)
+    )
+    strip_of = uc // nbb
+    gid = np.empty(len(uc), np.int64)
+    g, cur_b, cur_s = -1, 0, -1
+    for i in range(len(uc)):
+        if strip_of[i] != cur_s or cur_b + bc[i] > l_cap:
+            g += 1
+            cur_b, cur_s = 0, strip_of[i]
+        gid[i] = g
+        cur_b += int(bc[i])
+    gsz = np.bincount(gid, weights=ssize.astype(np.float64)).astype(
+        np.int64
+    )
+    gpad = -(-gsz // TILE) * TILE
+    T0 = int(gpad.sum() // TILE)
+    N = T0 * TILE
     goff = np.concatenate([[0], np.cumsum(gpad)])[:-1]
-    within = np.arange(len(rows)) - np.repeat(gstart, gsize)
-    pos = np.repeat(goff, gsize) + within
+    gfirst = np.concatenate([[0], np.cumsum(gsz)])[:-1]
+    within = np.arange(len(rows)) - np.repeat(gfirst, gsz)
+    pos = np.repeat(goff, gsz) + within
 
     p_rows = np.full(N, -1, np.int64)
     p_cols = np.zeros(N, np.int64)
@@ -154,210 +371,435 @@ def build_routed_plan(
     p_rows[pos] = rows
     p_cols[pos] = cols
     p_vals[pos] = vals
-    # padding slots extend the previous row's run with zeros (no extra
-    # boundary needed) — set their row to the preceding real row
-    pad_mask = p_rows < 0
-    if pad_mask.any():
-        idx = np.where(~pad_mask, np.arange(N), 0)
+    pad = p_rows < 0
+    if pad.any():
+        # padding duplicates the previous real slot with value 0: extends
+        # its run, keeps a consistent (window, lane, sub) source
+        idx = np.where(~pad, np.arange(N), 0)
         np.maximum.accumulate(idx, out=idx)
         p_rows = p_rows[idx]
-        # a window group that is entirely padding (can't happen: groups come
-        # from real nnz) — leading pad impossible since groups start real
+        p_cols = p_cols[idx]
 
+    # ---- per-tile stats + demotion to residual --------------------------
     tile_of = np.arange(N) // TILE
+    p_win = p_cols // WINDOW
+    p_band = p_rows // WINDOW
+    real = ~pad
+
+    nnz_t = np.bincount(tile_of[real], minlength=T0)
+    tw = np.unique(tile_of * np.int64(nwin) + p_win)
+    win_t = np.bincount((tw // nwin).astype(np.int64), minlength=T0)
+    tb = np.unique(tile_of * np.int64(nyt) + p_band)
+    band_t = np.bincount((tb // nyt).astype(np.int64), minlength=T0)
+    cost_t = (
+        TILE_BASE_NS
+        + TILE_L1_NS * np.maximum(win_t - 1, 0)
+        + TILE_BND_NS * np.maximum(band_t - 1, 0)
+    )
+    demote = (cost_t > RESIDUAL_NS * nnz_t) | (band_t > l_cap)
+
+    res_parts = []  # (rows, cols, vals) chunks headed for the residual
+    if demote.any():
+        m = demote[tile_of] & real
+        res_parts.append((p_rows[m], p_cols[m], p_vals[m]))
+        keep_slots = ~demote[tile_of]
+        p_rows, p_cols, p_vals = (
+            p_rows[keep_slots], p_cols[keep_slots], p_vals[keep_slots]
+        )
+        pad = pad[keep_slots]
+        real = ~pad
+        N = len(p_rows)
+        T0 = N // TILE
+        tile_of = np.arange(N) // TILE
+        p_win = p_cols // WINDOW
+        p_band = p_rows // WINDOW
+
+    if T0 == 0:
+        rr, rc, rv = (
+            np.concatenate([p[0] for p in res_parts])
+            if res_parts else np.zeros(0, np.int64),
+            np.concatenate([p[1] for p in res_parts])
+            if res_parts else np.zeros(0, np.int64),
+            np.concatenate([p[2] for p in res_parts])
+            if res_parts else np.zeros(0, np.float32),
+        )
+        return RoutedPlan(
+            shape=(R, C), nnz=coo.nnz, num_windows=nwin, num_ytiles=nyt,
+            s0=None, s1=None, s2=None,
+            residual_rows=rr, residual_cols=rc, residual_vals=rv,
+        )
+
     s_of = (np.arange(N) % TILE) // 128
     j_of = np.arange(N) % 128
 
-    tile_win = np.zeros(T, np.int32)
-    tile_win[tile_of[pos].astype(np.int64)] = win.astype(np.int32)
-    tile_band = np.zeros(T, np.int32)
-    tile_band[tile_of[pos].astype(np.int64)] = band.astype(np.int32)
+    # ---- pass-1 layering: window chains + conflict ranks ----------------
+    src_lane = (p_cols % 128).astype(np.int64)
+    src_sub = ((p_cols // 128) % 8).astype(np.int64)
 
-    # ---- pass-1 routing: LAYERED gather assignments ---------------------
-    # A (payload row, source lane) pair can serve only one source sublane
-    # per gather layer; nonzeros whose (lane -> sub) need conflicts with
-    # earlier ones go to the next layer (each layer = one more composed
-    # gather + multiply in the kernel).  Padding slots (vals 0) are
-    # excluded.  Ranks beyond L1_CAP go to the COO residual.
-    L1_CAP = 4
-    src_lane = (p_cols % 128).astype(np.int32)
-    src_sub = ((p_cols // 128) % 8).astype(np.int32)
-    real = np.nonzero(~pad_mask)[0]
-    prow_r = (tile_of * 8 + s_of)[real]  # payload-row id of real slots
-    lane_r = src_lane[real].astype(np.int64)
-    sub_r = src_sub[real].astype(np.int64)
-    okey = np.lexsort((sub_r, lane_r, prow_r))
-    pl_key = (prow_r * 128 + lane_r)[okey]
-    new_pl = np.ones(len(real), bool)
-    new_pl[1:] = pl_key[1:] != pl_key[:-1]
-    new_sub1 = np.ones(len(real), bool)
-    new_sub1[1:] = new_pl[1:] | (sub_r[okey][1:] != sub_r[okey][:-1])
-    did = np.cumsum(new_sub1) - 1
-    first_did = np.where(new_pl, did, 0)
-    np.maximum.accumulate(first_did, out=first_did)
-    rank_r_sorted = did - first_did  # distinct-sub rank per (prow, lane)
-    rank_r = np.empty(len(real), np.int64)
-    rank_r[okey] = rank_r_sorted
+    ridx = np.nonzero(real)[0]
+    # conflict rank within (tile, window, payload row, source lane)
+    grp1 = (
+        ((tile_of[ridx] * nwin + p_win[ridx]) * 8 + s_of[ridx]) * 128
+        + src_lane[ridx]
+    )
+    rank1 = _distinct_sub_rank(grp1, src_sub[ridx])
+    # window chains per tile: need = max rank + 1; base by first appearance
+    twkey = tile_of[ridx] * np.int64(nwin) + p_win[ridx]
+    uk, inv = np.unique(twkey, return_inverse=True)
+    need1 = np.zeros(len(uk), np.int64)
+    np.maximum.at(need1, inv, rank1 + 1)
+    firstpos1 = np.full(len(uk), N, np.int64)
+    np.minimum.at(firstpos1, inv, ridx)
+    base1 = _chain_bases(uk // nwin, uk % nwin, need1, firstpos1)
+    layer1 = base1[inv] + rank1
 
-    evict_r = rank_r >= L1_CAP
-    evict = np.zeros(N, bool)
-    evict[real] = evict_r
-    residual_rows = p_rows[evict].astype(np.int64)  # merged with res0 below
-    residual_cols = p_cols[evict]
-    residual_vals = p_vals[evict].copy()
-    p_vals = np.where(evict, 0.0, p_vals)
+    evict1 = layer1 >= l1_cap
+    if evict1.any():
+        e = ridx[evict1]
+        res_parts.append((p_rows[e], p_cols[e], p_vals[e].copy()))
+        p_vals[e] = 0.0
+        ridx = ridx[~evict1]
+        layer1 = layer1[~evict1]
+        inv = inv[~evict1]
 
-    L1 = int(min(rank_r.max() + 1 if len(rank_r) else 1, L1_CAP))
-    keep = real[~evict_r]
-    krank = rank_r[~evict_r]
-    vals4 = np.zeros((T, L1, 8, 128), np.float32)
-    lane1 = np.zeros((T, L1, 8, 128), np.int32)
-    sub1 = np.zeros((T, L1, 8, 128), np.int32)
-    # layer 0 holds every slot's value by default position 0?  No: each
-    # kept nnz contributes at ITS OWN slot in ITS rank layer (the slot
-    # position — hence the run structure — never moves; only the gather
-    # that feeds it is layered).
-    vals4[tile_of[keep], krank, s_of[keep], j_of[keep]] = p_vals[keep]
-    lane1[tile_of[keep], krank, s_of[keep], j_of[keep]] = src_lane[keep]
-    sub1[tile_of[keep], krank, s_of[keep], src_lane[keep]] = src_sub[keep]
-    vals3 = vals4
+    # per-tile pass-1 layer count
+    l1_t = np.zeros(T0, np.int64)
+    np.maximum.at(l1_t, tile_of[ridx], layer1 + 1)
+    l1_t = np.maximum(l1_t, 1)
+    # per-tile per-layer window table
+    win_l = np.zeros((T0, l1_cap), np.int32)
+    # chains: layer range [base, base+need) of window uk%nwin in tile uk//nwin
+    for chains in [None]:  # scoped block
+        ct = (uk // nwin).astype(np.int64)
+        cw = (uk % nwin).astype(np.int32)
+        # scatter each chain's window into its layer slots
+        reps = need1.astype(np.int64)
+        tt = np.repeat(ct, reps)
+        ll = np.repeat(base1, reps) + (
+            np.arange(int(reps.sum())) -
+            np.repeat(np.concatenate([[0], np.cumsum(reps)])[:-1], reps)
+        )
+        ww = np.repeat(cw, reps)
+        ok = ll < l1_cap
+        win_l[tt[ok], ll[ok]] = ww[ok]
 
-    # ---- row runs & boundary entries -----------------------------------
+    # ---- row runs & boundary entries ------------------------------------
     brk = np.ones(N, bool)
     brk[1:] = (p_rows[1:] != p_rows[:-1]) | (np.arange(1, N) % TILE == 0)
     starts = np.nonzero(brk)[0]
     ends = np.concatenate([starts[1:], [N]]) - 1
     run_rows = p_rows[starts]
-    keep = run_rows >= 0  # drop all-padding leading runs (none expected)
-    starts, ends, run_rows = starts[keep], ends[keep], run_rows[keep]
 
-    # Boundary entries per run: '+' reads P'[end]; '-' reads P'[start-1]
-    # when the run does not start the tile.  The two sides form
-    # INDEPENDENT layer series (their routing constraints are separate);
-    # layer = distinct-sub rank within (tile, out row, source lane).
-    # Out slots (sy, jy) are unique per tile: a row runs once per tile and
-    # rows within a tile live in one 1024-row band.
     e_tile = (starts // TILE).astype(np.int64)
-    e_ypos = run_rows
+    e_band = (run_rows // WINDOW).astype(np.int64)
     a_src = (ends % TILE).astype(np.int64)
     has_b = (starts % TILE) != 0
     b_src = np.where(has_b, (starts - 1) % TILE, 0).astype(np.int64)
-
-    sy = ((e_ypos % WINDOW) // 128).astype(np.int64)
-    jy = (e_ypos % 128).astype(np.int64)
+    sy = ((run_rows % WINDOW) // 128).astype(np.int64)
+    jy = (run_rows % 128).astype(np.int64)
     a_lane, a_sub = a_src % 128, a_src // 128
     b_lane, b_sub = b_src % 128, b_src // 128
 
-    def _distinct_rank(lane, sub):
-        grp = (e_tile * 8 + sy) * 128 + lane
-        o3 = np.lexsort((sub, grp))
-        g_s, sub_s = grp[o3], sub[o3]
-        new_g = np.ones(len(o3), bool)
-        new_g[1:] = g_s[1:] != g_s[:-1]
-        new_sub = np.ones(len(o3), bool)
-        new_sub[1:] = new_g[1:] | (sub_s[1:] != sub_s[:-1])
-        did = np.cumsum(new_sub) - 1
-        fd = np.where(new_g, did, 0)
-        np.maximum.accumulate(fd, out=fd)
-        rank = np.empty(len(e_tile), np.int64)
-        rank[o3] = did - fd
-        return rank
-
-    rank_a = _distinct_rank(a_lane, a_sub)
-    # rank b only among entries that HAVE a '-' side
+    # conflict ranks within (tile, band, sy, source lane), sides separate
+    grp_a = ((e_tile * nyt + e_band) * 8 + sy) * 128 + a_lane
+    rank_a = _distinct_sub_rank(grp_a, a_sub)
     rank_b = np.zeros(len(e_tile), np.int64)
     if has_b.any():
-        eb_t, eb_sy = e_tile[has_b], sy[has_b]
-        bl, bs_ = b_lane[has_b], b_sub[has_b]
-        grp = (eb_t * 8 + eb_sy) * 128 + bl
-        o3 = np.lexsort((bs_, grp))
-        g_s, sub_s = grp[o3], bs_[o3]
-        new_g = np.ones(len(o3), bool)
-        new_g[1:] = g_s[1:] != g_s[:-1]
-        new_sub = np.ones(len(o3), bool)
-        new_sub[1:] = new_g[1:] | (sub_s[1:] != sub_s[:-1])
-        did = np.cumsum(new_sub) - 1
-        fd = np.where(new_g, did, 0)
-        np.maximum.accumulate(fd, out=fd)
-        rb = np.empty(int(has_b.sum()), np.int64)
-        rb[o3] = did - fd
-        rank_b[has_b] = rb
+        hb = np.nonzero(has_b)[0]
+        grp_b = ((e_tile[hb] * nyt + e_band[hb]) * 8 + sy[hb]) * 128 \
+            + b_lane[hb]
+        rank_b[hb] = _distinct_sub_rank(grp_b, b_sub[hb])
 
-    La = int(rank_a.max()) + 1 if len(rank_a) else 1
-    Lb = int(rank_b[has_b].max()) + 1 if has_b.any() else 0
-    L = max(La, Lb, 1)
+    # band chains per tile
+    tbkey = e_tile * np.int64(nyt) + e_band
+    ukb, invb = np.unique(tbkey, return_inverse=True)
+    needb = np.zeros(len(ukb), np.int64)
+    np.maximum.at(needb, invb, np.maximum(rank_a, rank_b) + 1)
+    firstb = np.full(len(ukb), N, np.int64)
+    np.minimum.at(firstb, invb, starts)
+    baseb = _chain_bases(ukb // nyt, ukb % nyt, needb, firstb)
+    layer_a = baseb[invb] + rank_a
+    layer_b = baseb[invb] + rank_b
 
-    blane = np.zeros((T, L, 8, 128), np.int32)
-    bsub = np.zeros((T, L, 8, 128), np.int32)
-    blane_b = np.zeros((T, L, 8, 128), np.int32)
-    bsub_b = np.zeros((T, L, 8, 128), np.int32)
-    blane[e_tile, rank_a, sy, jy] = (a_lane | (1 << 7)).astype(np.int32)
-    bsub[e_tile, rank_a, sy, a_lane] = a_sub.astype(np.int32)
-    blane_b[e_tile[has_b], rank_b[has_b], sy[has_b], jy[has_b]] = (
-        b_lane[has_b] | (1 << 7)
-    ).astype(np.int32)
-    bsub_b[e_tile[has_b], rank_b[has_b], sy[has_b], b_lane[has_b]] = (
-        b_sub[has_b].astype(np.int32)
+    evict_run = (layer_a >= l_cap) | (has_b & (layer_b >= l_cap))
+    if evict_run.any():
+        # zero the run's slots (extends the neighbor run with zeros — the
+        # prefix sums of every other run are unchanged) and residualize
+        er = np.nonzero(evict_run)[0]
+        slot_mask = np.zeros(N + 1, np.int64)
+        np.add.at(slot_mask, starts[er], 1)
+        np.add.at(slot_mask, ends[er] + 1, -1)
+        in_evicted = np.cumsum(slot_mask[:-1]) > 0
+        m = in_evicted & real & (p_vals != 0.0)
+        res_parts.append((p_rows[m], p_cols[m], p_vals[m].copy()))
+        p_vals[m] = 0.0
+        kr = ~evict_run
+        e_tile, e_band, sy, jy = e_tile[kr], e_band[kr], sy[kr], jy[kr]
+        a_lane, a_sub = a_lane[kr], a_sub[kr]
+        b_lane, b_sub = b_lane[kr], b_sub[kr]
+        has_b, layer_a, layer_b = has_b[kr], layer_a[kr], layer_b[kr]
+
+    L_t = np.zeros(T0, np.int64)
+    if len(e_tile):
+        np.maximum.at(L_t, e_tile, layer_a + 1)
+        hb2 = np.nonzero(has_b)[0]
+        if len(hb2):
+            np.maximum.at(L_t, e_tile[hb2], layer_b[hb2] + 1)
+    L_t = np.maximum(L_t, 1)
+    byt_l = np.zeros((T0, l_cap), np.int32)
+    for chains in [None]:
+        ct = (ukb // nyt).astype(np.int64)
+        cb = (ukb % nyt).astype(np.int32)
+        reps = needb.astype(np.int64)
+        tt = np.repeat(ct, reps)
+        ll = np.repeat(baseb, reps) + (
+            np.arange(int(reps.sum())) -
+            np.repeat(np.concatenate([[0], np.cumsum(reps)])[:-1], reps)
+        )
+        bb = np.repeat(cb, reps)
+        ok = ll < l_cap
+        byt_l[tt[ok], ll[ok]] = bb[ok]
+
+    # ---- class partition (up to max_streams by bucketed layer counts) ---
+    def _bucket(n, cap):
+        b = 1
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
+    l1b = np.array([_bucket(int(v), l1_cap) for v in l1_t])
+    lb = np.array([_bucket(int(v), l_cap) for v in L_t])
+    classes = l1b * 64 + lb  # composite class key
+    ucls, cls_inv, cls_cnt = np.unique(
+        classes, return_inverse=True, return_counts=True
     )
-    byt = tile_band.copy()
+    # order classes by cost; merge cheapest-adjacent until <= max_streams
+    cls_cost = (ucls // 64) * TILE_L1_NS + (ucls % 64) * TILE_BND_NS
+    corder = np.argsort(cls_cost)
+    groups = [[i] for i in corder]
+    while len(groups) > 1:
+        # merging two adjacent class groups charges every member tile the
+        # merged layer counts but saves one kernel launch; merge the pair
+        # with the least added cost while over the stream budget, and keep
+        # merging whenever a merge is cheaper than the launch it saves
+        best, bcost = None, None
+        for gi in range(len(groups) - 1):
+            a, b = groups[gi], groups[gi + 1]
+            la = max(ucls[i] // 64 for i in a + b) * TILE_L1_NS \
+                + max(ucls[i] % 64 for i in a + b) * TILE_BND_NS
+            added = sum(
+                cls_cnt[i] * (la - cls_cost[i]) for i in a + b
+            )
+            if bcost is None or added < bcost:
+                best, bcost = gi, added
+        if len(groups) > max_streams or bcost < LAUNCH_NS:
+            groups[best] = groups[best] + groups.pop(best + 1)
+        else:
+            break
+
+    # ---- emit one compressed stream per class ---------------------------
+    p_layer = np.zeros(N, np.int64)
+    p_layer[ridx] = layer1
+    streams = []
+    for g in groups:
+        sel_cls = np.zeros(len(ucls), bool)
+        sel_cls[np.asarray(g)] = True
+        tiles = np.nonzero(sel_cls[cls_inv])[0]
+        if len(tiles) == 0:
+            continue
+        sl1 = int(max(ucls[i] // 64 for i in g))
+        sL = int(max(ucls[i] % 64 for i in g))
+        Ts = len(tiles)
+        # map original tile id -> stream-local tile id
+        tmap = np.full(T0, -1, np.int64)
+        tmap[tiles] = np.arange(Ts)
+
+        slot_sel = tmap[tile_of] >= 0
+        st = tmap[tile_of[slot_sel]]
+        ss, sj = s_of[slot_sel], j_of[slot_sel]
+        lay = p_layer[slot_sel]
+        lane = src_lane[slot_sel]
+        sub = src_sub[slot_sel]
+        v = p_vals[slot_sel]
+        nzm = v != 0.0
+
+        # Bitfield accumulation rides np.bincount with float64 weights:
+        # after per-(cell, layer) dedup every contribution occupies a
+        # disjoint bit range, so the sums are exact (< 2^32 < 2^53) and
+        # bincount is an order of magnitude faster than ufunc.at.
+        def _acc(cells, weights, size):
+            out = np.bincount(cells, weights=weights, minlength=size)
+            return out.astype(np.int64).astype(np.uint32).view(
+                np.int32
+            )
+
+        vals_s = np.zeros((Ts, 8, 128), np.float32)
+        vals_s[st, ss, sj] = v
+        route_s = np.zeros((Ts, 8, 128), np.int32)
+        route_s[st[nzm], ss[nzm], sj[nzm]] = (
+            np.where(lay[nzm] < 4, lane[nzm] << (7 * (lay[nzm] % 4)), 0)
+            | (lay[nzm] << 28)
+        ).astype(np.int32)
+        route2_s = None
+        if sl1 > 4:
+            route2_s = np.zeros((Ts, 8, 128), np.int32)
+            hi = nzm & (lay >= 4)
+            route2_s[st[hi], ss[hi], sj[hi]] = (
+                lane[hi] << (7 * (lay[hi] - 4))
+            ).astype(np.int32)
+        # rsub: per (tile, payload row, SOURCE lane, layer) — dedup pairs
+        # sharing (cell, layer) (they share sub by construction), then sum
+        cell = (st[nzm] * 8 + ss[nzm]) * 128 + lane[nzm]
+        pk = cell * 8 + lay[nzm]
+        o = np.argsort(pk, kind="stable")
+        first = np.ones(len(o), bool)
+        first[1:] = pk[o][1:] != pk[o][:-1]
+        fo = o[first]
+        rsub_s = _acc(
+            cell[fo],
+            (sub[nzm][fo] << (3 * lay[nzm][fo])).astype(np.float64),
+            Ts * TILE,
+        ).reshape(Ts, 8, 128)
+        win_s = win_l[tiles, :sl1].astype(np.int32)
+
+        npair = -(-sL // 2)
+        nquad = -(-sL // 4)
+        esel = tmap[e_tile] >= 0
+        et = tmap[e_tile[esel]]
+        ea, eb = layer_a[esel], layer_b[esel]
+        ey, ej = sy[esel], jy[esel]
+        al, as_ = a_lane[esel], a_sub[esel]
+        bll, bss = b_lane[esel], b_sub[esel]
+        hb3 = np.nonzero(has_b[esel])[0]
+        # bl: boundary entries are unique per (tile, layer, sy, jy)
+        cp = ((et * npair + ea // 2) * 8 + ey) * 128 + ej
+        wa = ((al + 128) << (16 * (ea % 2))).astype(np.float64)
+        wb = np.zeros(0, np.float64)
+        cb = np.zeros(0, np.int64)
+        if len(hb3):
+            cb = ((et[hb3] * npair + eb[hb3] // 2) * 8 + ey[hb3]) * 128 \
+                + ej[hb3]
+            wb = (
+                ((bll[hb3] + 128) << 8).astype(np.int64)
+                << (16 * (eb[hb3] % 2))
+            ).astype(np.float64)
+        bl_s = _acc(
+            np.concatenate([cp, cb]), np.concatenate([wa, wb]),
+            Ts * npair * TILE,
+        ).reshape(Ts, npair, 8, 128)
+        # bs: dedup per (cell, layer, side) — same-layer entries sharing a
+        # (sy, source lane) share the sub by the rank construction
+        cqa = ((et * nquad + ea // 4) * 8 + ey) * 128 + al
+        pka = cqa * 4 + ea % 4
+        oa = np.argsort(pka, kind="stable")
+        fa = np.ones(len(oa), bool)
+        fa[1:] = pka[oa][1:] != pka[oa][:-1]
+        foa = oa[fa]
+        cells_q = [cqa[foa]]
+        w_q = [(as_[foa] << (8 * (ea[foa] % 4))).astype(np.float64)]
+        if len(hb3):
+            cqb = ((et[hb3] * nquad + eb[hb3] // 4) * 8 + ey[hb3]) * 128 \
+                + bll[hb3]
+            pkb = cqb * 4 + eb[hb3] % 4
+            ob = np.argsort(pkb, kind="stable")
+            fb = np.ones(len(ob), bool)
+            fb[1:] = pkb[ob][1:] != pkb[ob][:-1]
+            fob = ob[fb]
+            cells_q.append(cqb[fob])
+            w_q.append(
+                ((bss[hb3][fob] << 4) << (8 * (eb[hb3][fob] % 4))).astype(
+                    np.float64
+                )
+            )
+        bs_s = _acc(
+            np.concatenate(cells_q), np.concatenate(w_q),
+            Ts * nquad * TILE,
+        ).reshape(Ts, nquad, 8, 128)
+        byt_s = byt_l[tiles, :sL].astype(np.int32)
+
+        streams.append(RoutedStream(
+            num_tiles=Ts, l1=sl1, lmax=sL,
+            vals=vals_s, route=route_s, route2=route2_s, rsub=rsub_s,
+            win=win_s, bl=bl_s, bs=bs_s, byt=byt_s,
+        ))
+
+    # costliest class last (cheap/large classes stream first)
+    streams.sort(key=lambda s: s.l1 * TILE_L1_NS + s.lmax * TILE_BND_NS)
+    streams = streams[:3]
+    if res_parts:
+        rr = np.concatenate([p[0] for p in res_parts])
+        rc = np.concatenate([p[1] for p in res_parts])
+        rv = np.concatenate([p[2] for p in res_parts])
+    else:
+        rr = np.zeros(0, np.int64)
+        rc = np.zeros(0, np.int64)
+        rv = np.zeros(0, np.float32)
 
     return RoutedPlan(
-        shape=(R, C),
-        nnz=coo.nnz,
-        num_tiles=T,
-        l1=L1,
-        lmax=L,
-        num_windows=nwin,
-        num_ytiles=nyt,
-        vals=vals3,
-        lane1=lane1,
-        sub1=sub1,
-        win=tile_win,
-        blane=blane,
-        bsub=bsub,
-        blane_b=blane_b,
-        bsub_b=bsub_b,
-        byt=byt,
-        residual_rows=np.concatenate([residual_rows, res0_rows]),
-        residual_cols=np.concatenate([residual_cols, res0_cols]),
-        residual_vals=np.concatenate([residual_vals, res0_vals]),
+        shape=(R, C), nnz=coo.nnz, num_windows=nwin, num_ytiles=nyt,
+        s0=streams[0] if len(streams) > 0 else None,
+        s1=streams[1] if len(streams) > 1 else None,
+        s2=streams[2] if len(streams) > 2 else None,
+        residual_rows=rr, residual_cols=rc, residual_vals=rv,
     )
+
+
+def _stream_matvec_numpy(
+    s: RoutedStream, x2d: np.ndarray, y: np.ndarray
+) -> None:
+    """Golden executor for one stream, mirroring the kernel's exact
+    dataflow (float64 accumulate), accumulating into ``y``."""
+    lanes = np.arange(128)
+    route_u = s.route.view(np.uint32)
+    for t in range(s.num_tiles):
+        rank = (route_u[t] >> 28) & 7
+        # pass 1
+        p = np.zeros((8, 128), np.float64)
+        for l in range(s.l1):
+            w = int(s.win[t, l])
+            win8 = x2d[w * 8 : w * 8 + 8]
+            if l < 4:
+                lane = (route_u[t] >> (7 * l)) & 127
+            else:
+                lane = (s.route2[t].view(np.uint32) >> (7 * (l - 4))) & 127
+            sub = (s.rsub[t].view(np.uint32) >> (3 * l)) & 7
+            t1 = win8[sub, lanes[None, :]]
+            xg = np.take_along_axis(t1, lane.astype(np.int64), axis=1)
+            p += np.where(
+                rank == l, s.vals[t].astype(np.float64) * xg, 0.0
+            )
+        # pass 2
+        pf2 = np.cumsum(p.reshape(-1)).reshape(8, 128)
+        # pass 3
+        for k in range(s.lmax):
+            raw = (s.bl[t, k // 2].view(np.uint32) >> (16 * (k % 2))) \
+                & 0xFFFF
+            q = (s.bs[t, k // 4].view(np.uint32) >> (8 * (k % 4))) & 0xFF
+            a_lane = raw & 127
+            av = (raw >> 7) & 1
+            b_lane = (raw >> 8) & 127
+            bv = (raw >> 15) & 1
+            a_sub = q & 7
+            b_sub = (q >> 4) & 7
+            ga = np.take_along_axis(
+                pf2[a_sub, lanes[None, :]], a_lane.astype(np.int64), axis=1
+            ) * av
+            gb = np.take_along_axis(
+                pf2[b_sub, lanes[None, :]], b_lane.astype(np.int64), axis=1
+            ) * bv
+            b = int(s.byt[t, k])
+            y[b * WINDOW : (b + 1) * WINDOW] += (ga - gb).reshape(-1)
 
 
 def routed_matvec_numpy(plan: RoutedPlan, x: np.ndarray) -> np.ndarray:
-    """Golden numpy executor mirroring the kernel's exact dataflow
-    (float64 accumulate), incl. the residual COO."""
+    """Golden numpy executor (float64 accumulate), incl. the residual."""
     R, C = plan.shape
     xp = np.zeros(plan.num_windows * WINDOW, np.float64)
     xp[:C] = x
     x2d = xp.reshape(plan.num_windows * 8, 128)
     y = np.zeros(plan.num_ytiles * WINDOW, np.float64)
-    lanes = np.arange(128)
-
-    for t in range(plan.num_tiles):
-        win8 = x2d[plan.win[t] * 8 : plan.win[t] * 8 + 8]  # (8,128)
-        # pass 1: one composed gather + multiply per layer
-        p = np.zeros((8, 128), np.float64)
-        for l in range(plan.l1):
-            t1 = win8[plan.sub1[t, l], lanes[None, :]]  # sublane TAA
-            xg = np.take_along_axis(t1, plan.lane1[t, l], axis=1)
-            p += plan.vals[t, l].astype(np.float64) * xg
-        # pass 2: flat prefix
-        pf = np.cumsum(p.reshape(-1))
-        pf2 = pf.reshape(8, 128)
-        # pass 3: boundary layers, each reading +P'[end] - P'[start-1]
-        for k in range(plan.lmax):
-            rawa = plan.blane[t, k]
-            ga = np.take_along_axis(
-                pf2[plan.bsub[t, k], lanes[None, :]], rawa & 127, axis=1
-            ) * (rawa >> 7)
-            rawb = plan.blane_b[t, k]
-            gb = np.take_along_axis(
-                pf2[plan.bsub_b[t, k], lanes[None, :]], rawb & 127, axis=1
-            ) * (rawb >> 7)
-            base = plan.byt[t] * WINDOW
-            y[base : base + WINDOW] += (ga - gb).reshape(-1)
-
+    for s in plan.streams:
+        _stream_matvec_numpy(s, x2d, y)
     if len(plan.residual_vals):
         np.add.at(
             y, plan.residual_rows,

@@ -24,7 +24,7 @@ from hispmv_tpu.config import SpmvConfig
 from hispmv_tpu.ops.spmv_ellx import EllxPlan
 from hispmv_tpu.plan.blocks import BlockPlan
 from hispmv_tpu.plan.partition import StreamPlan
-from hispmv_tpu.plan.routed import RoutedPlan
+from hispmv_tpu.plan.routed import RoutedPlan, RoutedStream
 from hispmv_tpu.plan.split import SplitPlan
 from hispmv_tpu.plan.windows import WindowPlan
 
@@ -35,6 +35,7 @@ _PLAN_TYPES = {
     "ellx": EllxPlan,
     "split": SplitPlan,
     "routed": RoutedPlan,
+    "routedstream": RoutedStream,
 }
 _SEP = ".."
 

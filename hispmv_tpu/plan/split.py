@@ -91,23 +91,14 @@ def _pad(n: int, m: int) -> int:
 
 
 def _pick_body_format(body: COOMatrix) -> str:
-    """Routed when the body's (band, window) groups are tile-friendly
-    (modeled routed time beats the ELLX base pass)."""
-    from hispmv_tpu.plan.routed import TILE, WINDOW
+    """Routed when the v2 macro-cell estimate beats the ELLX base pass."""
+    from hispmv_tpu.plan.routed import estimate_routed_cost_ns
 
     R, C = body.shape
-    nwin = max(-(-C // WINDOW), 1)
-    gkey = (body.rows.astype(np.int64) // WINDOW) * nwin \
-        + body.cols // WINDOW
-    _, gcounts = np.unique(gkey, return_counts=True)
-    big = gcounts >= 16
-    tiles = int((-(-gcounts[big] // TILE)).sum())
-    resid = int(gcounts[~big].sum())
-    kept = int(gcounts[big].sum())
-    fill = kept / max(tiles * TILE, 1)
-    layer_scale = 1.0 if fill > 0.7 else (1.7 if fill > 0.4 else 3.0)
-    t_routed = tiles * 1.1e-7 * layer_scale + min(
-        resid * 1.6e-8, R * 516 / 450e9
+    est = estimate_routed_cost_ns(body.rows, body.cols, body.shape)
+    tiles = est["tiles"]
+    t_routed = est["est_ns"] * 1e-9 + min(
+        est["residual"] * 1.6e-8, R * 516 / 450e9
     )
     # ELLX body cost: actual base-K choice + overflow time
     from hispmv_tpu.ops.spmv_ellx import choose_k_base

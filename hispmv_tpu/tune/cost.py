@@ -48,9 +48,9 @@ class DeviceProfile:
     ellx_gbps: float = 500.0
     # per-row cost of jnp.take(axis=0) row gathers (0.55 G rows/s measured)
     row_gather_s: float = 1.8e-9
-    # routed-stream kernel per-tile cost (1024 nnz slots; measured 85-142
-    # ns/tile on ford2/hangGlider-class plans)
-    routed_tile_s: float = 1.1e-7
+    # routed-stream per-tile/per-layer costs live in plan/routed.py
+    # (TILE_BASE_NS/TILE_L1_NS/TILE_BND_NS, loop-slope measured); the
+    # cost model consumes the resulting compute-ns estimate directly.
 
 
 # Default profile used when no calibration file exists.
@@ -151,16 +151,18 @@ class CostModel:
 
     def routed_seconds(
         self,
-        num_tiles: int,
+        compute_ns: float,
         stream_bytes: int,
         residual_nnz: int,
         rows: int,
         cols: int,
     ) -> float:
-        """Routed-stream kernel: max(compute, stream DMA) + residual ELLX
-        (row-granular base over the full row space, k=1)."""
+        """Routed-stream kernel: max(per-tile compute from the layered
+        cost model (plan/routed.py::estimate_routed_cost_ns or
+        plan_cost_ns), stream DMA) + residual ELLX (row-granular base over
+        the full row space, k=1)."""
         t = max(
-            num_tiles * self.p.routed_tile_s,
+            compute_ns * 1e-9,
             stream_bytes / (self.p.hbm_gbps * 1e9 * self.p.block_dma_efficiency),
         ) + self.p.launch_overhead_s
         if residual_nnz:

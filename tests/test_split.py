@@ -80,7 +80,9 @@ def test_split_nnz_partition_exact():
         if plan.body.overflow is not None:
             body += int(np.count_nonzero(plan.body.overflow.data))
     elif plan.body is not None:  # RoutedPlan
-        body = int(np.count_nonzero(plan.body.vals))
+        body = sum(
+            int(np.count_nonzero(s.vals)) for s in plan.body.streams
+        )
         body += len(plan.body.residual_vals)
     # duplicate coordinates merge in COO; count distinct coords
     assert hc + hr + body == coo.nnz

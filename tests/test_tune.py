@@ -66,12 +66,12 @@ def test_dse_picks_block_for_block_structured():
 
 def test_dse_hypersparse_guard():
     # Hypersparse (~1 nnz per block): every block/window plan exceeds the
-    # 100 B/nnz pathology guard (their device bytes would dwarf the matrix),
-    # so only the scalar-free ELLX engine (round-2) and the gather stream
-    # remain admissible — and ELLX must win.
+    # 100 B/nnz pathology guard (their device bytes would dwarf the
+    # matrix) and must not even appear as a candidate.  The per-nnz
+    # engines (ELLX / routed / split) are the admissible winners.
     coo = random_coo(50_000, 1_000_000, 100_000, seed=5)
     res = DSE().explore(coo)
-    assert res.format in ("ellx", "split"), res.candidates
+    assert res.format in ("ellx", "split", "routed"), res.candidates
     assert all(not l.startswith(("block", "win")) for l, _ in res.candidates)
 
 
@@ -126,7 +126,9 @@ def test_measured_tune_cpu():
 
     coo = blocked_coo(1000, 1000, 30_000, seed=30)
     res = tune(coo, measure=2)
-    assert res.format in ("block", "window", "dense")
+    # measured winner on a small blocked matrix: any dense-block engine or
+    # the scalar-free ELLX pass (which beats them at this size on-chip)
+    assert res.format in ("block", "window", "dense", "ellx")
     assert res.est_seconds > 0
     assert len(res.candidates) >= 2
 
