@@ -126,9 +126,12 @@ def test_measured_tune_cpu():
 
     coo = blocked_coo(1000, 1000, 30_000, seed=30)
     res = tune(coo, measure=2)
-    # measured winner on a small blocked matrix: any dense-block engine or
-    # the scalar-free ELLX pass (which beats them at this size on-chip)
-    assert res.format in ("block", "window", "dense", "ellx")
+    # On CPU (interpret mode) relative kernel timings are arbitrary — the
+    # contract here is that measured tuning completes and returns a valid
+    # accuracy-guarded winner; never the measured-catastrophic gather
+    # stream on a blocked matrix.
+    assert res.format in ("block", "window", "dense", "ellx", "split",
+                          "routed")
     assert res.est_seconds > 0
     assert len(res.candidates) >= 2
 
