@@ -113,7 +113,8 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
             if sm["has_route2"] else ("vals", "route", "rsub", "bl", "bs")
         )
         p = prefix + f"s{i}_"
-        packed = tuple(d[p + n] for n in names) + (d[p + "win"], d[p + "byt"])
+        packed = tuple(d[p + n] for n in names) + (
+            d[p + "win"], d[p + "byt"], d[p + "lt"])
         ys = spmv_routed_stream_pallas(
             packed, sm["dims"], x2d, nytp, interpret=interp,
         )
@@ -508,11 +509,11 @@ class SpmvHandle:
         streams_meta = []
         for i, s in enumerate(plan.streams):
             packed, dims = pack_stream(s)
-            has_route2 = len(packed) == 8
+            has_route2 = len(packed) == 9
             names = (
                 ("vals", "route", "route2", "rsub", "bl", "bs")
                 if has_route2 else ("vals", "route", "rsub", "bl", "bs")
-            ) + ("win", "byt")
+            ) + ("win", "byt", "lt")
             for n, a in zip(names, packed):
                 d[prefix + f"s{i}_" + n] = jnp.asarray(a)
             streams_meta.append({"dims": dims, "has_route2": has_route2})

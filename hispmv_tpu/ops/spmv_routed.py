@@ -65,8 +65,8 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     layer dims to powers of two so differently-sized matrices share one
     compiled kernel (padding is all-zero and contributes nothing).
 
-    Returns (vals, route, route2|None, rsub, bl, bs, win, byt,
-    (nch, tchunk, l1p, lp))."""
+    Returns (vals, route, [route2,] rsub, bl, bs, win, byt, lt), with
+    dims (nch, tchunk, l1p, lp)."""
     tchunk = tchunk or chunk_for_stream(s)
     T = s.num_tiles
     nch = max(-(-T // tchunk), 1)
@@ -97,6 +97,8 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     win[:T, : s.win.shape[1]] = s.win
     byt = np.zeros((Tp, lp), np.int32)
     byt[:T, : s.byt.shape[1]] = s.byt
+    lt = np.zeros(Tp, np.int32)  # padding tiles: 0 layers -> all skipped
+    lt[:T] = s.lt
 
     out = [
         vals.reshape(nch, tchunk * 8, LANES),
@@ -108,7 +110,10 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
         rsub.reshape(nch, tchunk * 8, LANES),
         bl.reshape(nch, tchunk * npair * 8, LANES),
         bs.reshape(nch, tchunk * nquad * 8, LANES),
-        win, byt,
+        # scalar-prefetch tables FLATTENED to 1-D: SMEM pads 2-D operands
+        # per ROW (~512 B), so [T, 1] tables would cost T*512 B and blow
+        # the 1 MiB SMEM budget at a few thousand tiles
+        win.reshape(-1), byt.reshape(-1), lt,
     ]
     return tuple(out), (nch, tchunk, l1p, lp)
 
@@ -118,8 +123,9 @@ def _srl(x, n):
 
 
 def _routed_kernel(
-    win_ref,  # i32 [Tp, l1] scalar prefetch: x window per pass-1 layer
-    byt_ref,  # i32 [Tp, lp] scalar prefetch: y tile per boundary layer
+    win_ref,  # i32 [Tp*l1] scalar prefetch: x window per pass-1 layer
+    byt_ref,  # i32 [Tp*lp] scalar prefetch: y tile per boundary layer
+    lt_ref,  # i32 [Tp] scalar prefetch: ACTUAL boundary layers per tile
     *refs,
     tchunk: int,
     l1: int,
@@ -159,7 +165,7 @@ def _routed_kernel(
         rank = _srl(route, 28) & 7
         xg = jnp.zeros((8, LANES), jnp.float32)
         for l in range(l1):
-            w = win_ref[i * tchunk + j, l]
+            w = win_ref[(i * tchunk + j) * l1 + l]
             win8 = x_ref[pl.ds(w * 8, 8), :]
             if l < 4:
                 lane = _srl(route, 7 * l) & 127
@@ -191,24 +197,31 @@ def _routed_kernel(
     pf_all = incl + carry  # (M, 128)
 
     # ---- phase C: boundary extraction + per-layer y accumulation --------
+    # layers beyond the tile's ACTUAL count (class caps pad streams to a
+    # shared shape) are skipped entirely: a scattered-heavy class charges
+    # each tile its own layers, not the cap
     for j in range(tchunk):
         pf = pf_all[j * 8 : (j + 1) * 8, :]
+        lt_j = lt_ref[i * tchunk + j]
         for k in range(lmax):
-            offp = (j * npair + k // 2) * 8
-            raw = _srl(bl_ref[0, offp : offp + 8, :], 16 * (k % 2))
-            offq = (j * nquad + k // 4) * 8
-            q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
-            ga = jnp.take_along_axis(
-                jnp.take_along_axis(pf, q & 7, axis=0),
-                raw & 127, axis=1,
-            ) * (_srl(raw, 7) & 1).astype(jnp.float32)
-            gb = jnp.take_along_axis(
-                jnp.take_along_axis(pf, _srl(q, 4) & 7, axis=0),
-                _srl(raw, 8) & 127, axis=1,
-            ) * (_srl(raw, 15) & 1).astype(jnp.float32)
-            b = byt_ref[i * tchunk + j, k]
-            prev = y_ref[pl.ds(b * 8, 8), :]
-            y_ref[pl.ds(b * 8, 8), :] = prev + ga - gb
+
+            @pl.when(k < lt_j)
+            def _layer(j=j, k=k, pf=pf):
+                offp = (j * npair + k // 2) * 8
+                raw = _srl(bl_ref[0, offp : offp + 8, :], 16 * (k % 2))
+                offq = (j * nquad + k // 4) * 8
+                q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
+                ga = jnp.take_along_axis(
+                    jnp.take_along_axis(pf, q & 7, axis=0),
+                    raw & 127, axis=1,
+                ) * (_srl(raw, 7) & 1).astype(jnp.float32)
+                gb = jnp.take_along_axis(
+                    jnp.take_along_axis(pf, _srl(q, 4) & 7, axis=0),
+                    _srl(raw, 8) & 127, axis=1,
+                ) * (_srl(raw, 15) & 1).astype(jnp.float32)
+                b = byt_ref[(i * tchunk + j) * lmax + k]
+                prev = y_ref[pl.ds(b * 8, 8), :]
+                y_ref[pl.ds(b * 8, 8), :] = prev + ga - gb
 
 
 def spmv_routed_stream_pallas(
@@ -221,12 +234,12 @@ def spmv_routed_stream_pallas(
 ) -> jax.Array:
     """Run one routed stream; returns y f32 [nyt*8, 128]."""
     nch, tchunk, l1, lmax = dims
-    has_route2 = len(packed) == 8
+    has_route2 = len(packed) == 9
     if has_route2:
-        vals, route, route2, rsub, bl, bs, win, byt = packed
+        vals, route, route2, rsub, bl, bs, win, byt, lt = packed
         data = (vals, route, route2, rsub, bl, bs)
     else:
-        vals, route, rsub, bl, bs, win, byt = packed
+        vals, route, rsub, bl, bs, win, byt, lt = packed
         data = (vals, route, rsub, bl, bs)
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
@@ -234,7 +247,7 @@ def spmv_routed_stream_pallas(
     def spec(rows):
         return pl.BlockSpec(
             (1, rows, LANES),
-            lambda i, w, b: (i, 0, 0),
+            lambda i, w, b, t: (i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -244,12 +257,12 @@ def spmv_routed_stream_pallas(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(nch,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (num_ytiles * 8, LANES),
-            lambda i, w, b: (0, 0),
+            lambda i, w, b, t: (0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -270,4 +283,4 @@ def spmv_routed_stream_pallas(
             bytes_accessed=nbytes + x2d.size * 4,
             transcendentals=0,
         ),
-    )(win, byt, *data, x2d)
+    )(win, byt, lt, *data, x2d)

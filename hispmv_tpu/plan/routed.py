@@ -69,11 +69,18 @@ from hispmv_tpu.formats.matrix import COOMatrix
 WINDOW = 1024  # columns per window = one (8,128) x tile
 TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 
-# Measured per-tile cost constants (v5e, loop-slope; see ROUND2 notes) used
-# for the tile-vs-residual demotion rule and stream classing.
-TILE_BASE_NS = 61.5
-TILE_L1_NS = 3.4
-TILE_BND_NS = 9.5
+# Measured per-tile cost constants (v5e, loop-slope, 2026-08-17 v2-kernel
+# microbench: 64.9 ns at l1=1/L=1, 4.0 ns per extra pass-1 layer, 13.9-14.6
+# ns per extra boundary layer at high L incl. its stream DMA) used for the
+# tile-vs-residual demotion rule and stream classing.
+TILE_BASE_NS = 65.0
+TILE_L1_NS = 4.0
+TILE_BND_NS = 13.5
+# per-tile predication splits the boundary-layer cost: layers the class
+# cap pads but the tile skips cost only their stream DMA (~3 KB per layer
+# per tile at 794 GB/s); executed layers cost the rest
+BND_DMA_NS = 3.8
+BND_COMP_NS = TILE_BND_NS - BND_DMA_NS
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
 
 L1_CAP = 8  # pass-1 layers (window chains + conflict ranks)
@@ -96,6 +103,8 @@ class RoutedStream:
     bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]
     bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]
     byt: np.ndarray  # i32 [T, lmax]
+    lt: np.ndarray  # i32 [T]: ACTUAL boundary layers per tile — the
+    # kernel skips layers >= lt[t] (class caps pad the stream, not time)
 
     @property
     def stream_bytes(self) -> int:
@@ -261,14 +270,16 @@ def estimate_routed_cost_ns(
 
 
 def plan_cost_ns(plan: RoutedPlan) -> float:
-    """Modeled execution cost of a plan (measured v5e constants)."""
+    """Modeled execution cost of a plan (measured v5e constants): padded
+    boundary layers cost DMA only (per-tile predication skips their
+    compute), executed layers cost compute + DMA."""
     t = 0.0
     for s in plan.streams:
         t += LAUNCH_NS + s.num_tiles * (
             TILE_BASE_NS
             + TILE_L1_NS * (s.l1 - 1)
-            + TILE_BND_NS * (s.lmax - 1)
-        )
+            + BND_DMA_NS * (s.lmax - 1)
+        ) + BND_COMP_NS * float(np.maximum(s.lt - 1, 0).sum())
     t += RESIDUAL_NS * len(plan.residual_vals)
     return t
 
@@ -573,8 +584,10 @@ def _build_routed_plan(
     ucls, cls_inv, cls_cnt = np.unique(
         classes, return_inverse=True, return_counts=True
     )
-    # order classes by cost; merge cheapest-adjacent until <= max_streams
-    cls_cost = (ucls // 64) * TILE_L1_NS + (ucls % 64) * TILE_BND_NS
+    # order classes by PADDING cost (with per-tile predication a merged
+    # tile pays only stream DMA + pass-1 compute for the padded layers);
+    # merge cheapest-adjacent until <= max_streams
+    cls_cost = (ucls // 64) * TILE_L1_NS + (ucls % 64) * BND_DMA_NS
     corder = np.argsort(cls_cost)
     groups = [[i] for i in corder]
     while len(groups) > 1:
@@ -721,6 +734,7 @@ def _build_routed_plan(
             num_tiles=Ts, l1=sl1, lmax=sL,
             vals=vals_s, route=route_s, route2=route2_s, rsub=rsub_s,
             win=win_s, bl=bl_s, bs=bs_s, byt=byt_s,
+            lt=L_t[tiles].astype(np.int32),
         ))
 
     # costliest class last (cheap/large classes stream first)
