@@ -87,6 +87,11 @@ def get_lib():
         ]
         lib.pack_blocks_free.restype = None
         lib.pack_blocks_free.argtypes = [ctypes.c_void_p]
+        lib.euler_color.restype = ctypes.c_int
+        lib.euler_color.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -117,6 +122,25 @@ def parse_mtx_body(
     if n != expect:
         return None
     return rows, cols, vals
+
+
+def euler_color(
+    sw: np.ndarray, dw: np.ndarray, d: int
+) -> Optional[np.ndarray]:
+    """Proper d-edge-coloring of a d-regular bipartite multigraph via
+    recursive Euler splits (permutation-plan stage construction,
+    plan/permute.py).  Returns int32 colors or None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sw = np.ascontiguousarray(sw, np.int32)
+    dw = np.ascontiguousarray(dw, np.int32)
+    colors = np.empty(len(sw), np.int32)
+    rc = lib.euler_color(_ptr(sw), _ptr(dw), len(sw), int(d), _ptr(colors))
+    if rc != 0:
+        return None
+    return colors
 
 
 def pack_blocks(

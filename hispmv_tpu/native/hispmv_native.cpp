@@ -118,4 +118,114 @@ void pack_blocks_fill(void* ctx_ptr, const int32_t* rows, const int32_t* cols,
 
 void pack_blocks_free(void* ctx_ptr) { delete (PackCtx*)ctx_ptr; }
 
+// ---------------------------------------------------------------------------
+// Bipartite d-regular multigraph edge coloring by recursive Euler splitting
+// (d a power of two).  Used by the permutation planner (plan/permute.py):
+// a proper 1024-coloring of the {src_window -> dst_window} multigraph turns
+// an arbitrary permutation into 3 within-window stages + 2 transposes.
+//
+// One split: walk Eulerian circuits alternating edge sides; every vertex
+// has even degree so each circuit closes and each vertex's edges split
+// exactly in half.  Recursion depth log2(d); total work O(n * log d).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct ColorScratch {
+  std::vector<int32_t> l_order, r_order;  // edge ids sorted by sw / dw
+  std::vector<int32_t> l_start, r_start;  // CSR offsets per vertex
+  std::vector<int32_t> l_cur, r_cur;      // skip cursors
+  std::vector<uint8_t> used;
+  std::vector<int8_t> side;
+  std::vector<int32_t> idx0, idx1, sub_sw, sub_dw, sub_ids;
+};
+
+void counting_sort(const int32_t* key, int64_t n, int32_t nv,
+                   std::vector<int32_t>& order, std::vector<int32_t>& start) {
+  start.assign(nv + 1, 0);
+  for (int64_t i = 0; i < n; ++i) ++start[key[i] + 1];
+  for (int32_t v = 0; v < nv; ++v) start[v + 1] += start[v];
+  order.resize(n);
+  std::vector<int32_t> cur(start.begin(), start.end() - 1);
+  for (int64_t i = 0; i < n; ++i) order[cur[key[i]]++] = (int32_t)i;
+}
+
+void euler_split(const int32_t* sw, const int32_t* dw, int64_t n, int32_t nl,
+                 int32_t nr, ColorScratch& s) {
+  counting_sort(sw, n, nl, s.l_order, s.l_start);
+  counting_sort(dw, n, nr, s.r_order, s.r_start);
+  s.l_cur.assign(s.l_start.begin(), s.l_start.end() - 1);
+  s.r_cur.assign(s.r_start.begin(), s.r_start.end() - 1);
+  s.used.assign(n, 0);
+  s.side.resize(n);
+  for (int64_t seed = 0; seed < n; ++seed) {
+    if (s.used[seed]) continue;
+    int64_t e = seed;
+    int sd = 0;
+    while (e >= 0) {
+      s.used[e] = 1;
+      s.side[e] = (int8_t)sd;
+      if (sd == 0) {  // L->R: continue from the right vertex
+        int32_t v = dw[e];
+        int32_t c = s.r_cur[v], end = s.r_start[v + 1];
+        while (c < end && s.used[s.r_order[c]]) ++c;
+        s.r_cur[v] = c;
+        e = c < end ? s.r_order[c] : -1;
+      } else {  // R->L: continue from the left vertex
+        int32_t v = sw[e];
+        int32_t c = s.l_cur[v], end = s.l_start[v + 1];
+        while (c < end && s.used[s.l_order[c]]) ++c;
+        s.l_cur[v] = c;
+        e = c < end ? s.l_order[c] : -1;
+      }
+      sd ^= 1;
+    }
+  }
+}
+
+void color_rec(const int32_t* sw, const int32_t* dw, const int32_t* ids,
+               int64_t n, int32_t nl, int32_t nr, int32_t d, int32_t base,
+               int32_t* out_colors, ColorScratch& s) {
+  if (d == 1 || n == 0) {
+    for (int64_t i = 0; i < n; ++i) out_colors[ids[i]] = base;
+    return;
+  }
+  euler_split(sw, dw, n, nl, nr, s);
+  // partition edges by side into fresh buffers (recursion reuses scratch)
+  std::vector<int32_t> sw0, dw0, id0, sw1, dw1, id1;
+  sw0.reserve(n / 2); dw0.reserve(n / 2); id0.reserve(n / 2);
+  sw1.reserve(n / 2); dw1.reserve(n / 2); id1.reserve(n / 2);
+  for (int64_t i = 0; i < n; ++i) {
+    if (s.side[i] == 0) {
+      sw0.push_back(sw[i]); dw0.push_back(dw[i]); id0.push_back(ids[i]);
+    } else {
+      sw1.push_back(sw[i]); dw1.push_back(dw[i]); id1.push_back(ids[i]);
+    }
+  }
+  color_rec(sw0.data(), dw0.data(), id0.data(), (int64_t)sw0.size(), nl, nr,
+            d / 2, base, out_colors, s);
+  color_rec(sw1.data(), dw1.data(), id1.data(), (int64_t)sw1.size(), nl, nr,
+            d / 2, base + d / 2, out_colors, s);
+}
+
+}  // namespace
+
+// sw/dw: int32 [n] window ids; d: colors (power of two; every vertex has
+// degree exactly d).  out_colors: int32 [n].  Returns 0 on success.
+int euler_color(const int32_t* sw, const int32_t* dw, long long n, int d,
+                int32_t* out_colors) {
+  if (n == 0) return 0;
+  if (d <= 0 || (d & (d - 1)) != 0) return -1;
+  int32_t nl = 0, nr = 0;
+  for (long long i = 0; i < n; ++i) {
+    if (sw[i] >= nl) nl = sw[i] + 1;
+    if (dw[i] >= nr) nr = dw[i] + 1;
+  }
+  std::vector<int32_t> ids(n);
+  for (long long i = 0; i < n; ++i) ids[i] = (int32_t)i;
+  ColorScratch s;
+  color_rec(sw, dw, ids.data(), n, nl, nr, d, 0, out_colors, s);
+  return 0;
+}
+
 }  // extern "C"

@@ -1,0 +1,178 @@
+"""Within-window permutation Pallas kernel + full-permutation driver.
+
+Executes plan/permute.py stages: each (8,128) window is permuted by up to
+8 layers of composed sublane/lane take_along_axis gathers (the routed
+pass-1 decode, ops/spmv_routed.py, minus the window table — sources stay
+within the same window, so input and output blocks are aligned and no
+resident operand is needed).
+
+The full permutation is S1 -> transpose -> S2 -> transpose -> S3 with the
+transposes left to XLA (near memory speed on 2-D f32).  ~0.1 ns/element
+measured end-to-end vs ~7-16 ns for an XLA element gather — this is what
+makes rank-space (degree-sorted) SpMV execution affordable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from hispmv_tpu.plan.permute import PermutePlan, WindowStage, WINDOW
+
+LANES = 128
+TCHUNK = 16
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, n)
+
+
+def pack_stage(stage: WindowStage, tchunk: int = TCHUNK, bucket: bool = True):
+    """Pad a stage's route arrays to whole chunks (optionally bucketing the
+    chunk count to a power of two for executable reuse).  Returns
+    (arrays, (nch, tchunk, l1))."""
+    W = stage.num_windows
+    nch = max(-(-W // tchunk), 1)
+    if bucket:
+        nch = _bucket(nch)
+    Wp = nch * tchunk
+    l1 = stage.l1 if not bucket else _bucket(stage.l1)
+
+    route = np.zeros((Wp, 8, LANES), np.int32)
+    route[:W] = stage.route
+    rsub = np.zeros((Wp, 8, LANES), np.int32)
+    rsub[:W] = stage.rsub
+    arrays = [route.reshape(nch, tchunk * 8, LANES)]
+    if l1 > 4:
+        route2 = np.zeros((Wp, 8, LANES), np.int32)
+        if stage.route2 is not None:
+            route2[:W] = stage.route2
+        arrays.append(route2.reshape(nch, tchunk * 8, LANES))
+    arrays.append(rsub.reshape(nch, tchunk * 8, LANES))
+    return tuple(arrays), (nch, tchunk, l1)
+
+
+def _permute_kernel(*refs, tchunk: int, l1: int, has_route2: bool):
+    if has_route2:
+        route_ref, route2_ref, rsub_ref, in_ref, out_ref = refs
+    else:
+        route_ref, rsub_ref, in_ref, out_ref = refs
+        route2_ref = None
+    for j in range(tchunk):
+        sl = slice(j * 8, (j + 1) * 8)
+        win8 = in_ref[0, sl, :]
+        route = route_ref[0, sl, :]
+        rsub = rsub_ref[0, sl, :]
+        rank = _srl(route, 28) & 7
+        acc = jnp.zeros((8, LANES), jnp.float32)
+        for l in range(l1):
+            if l < 4:
+                lane = _srl(route, 7 * l) & 127
+            else:
+                lane = _srl(route2_ref[0, sl, :], 7 * (l - 4)) & 127
+            sub = _srl(rsub, 3 * l) & 7
+            t1 = jnp.take_along_axis(win8, sub, axis=0)
+            g = jnp.take_along_axis(t1, lane, axis=1)
+            acc = jnp.where(rank == l, g, acc)
+        out_ref[0, sl, :] = acc
+
+
+def permute_stage_pallas(
+    arrays, dims, a: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """Apply one within-window stage to ``a`` f32 [Wp*8, 128] (Wp from
+    dims); returns the permuted array of the same shape."""
+    nch, tchunk, l1 = dims
+    has_route2 = len(arrays) == 3
+    rows = tchunk * 8
+
+    def spec():
+        return pl.BlockSpec(
+            (1, rows, LANES), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    a3 = a.reshape(nch, rows, LANES)
+    kernel = functools.partial(
+        _permute_kernel, tchunk=tchunk, l1=l1, has_route2=has_route2
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nch,),
+        in_specs=[spec()] * (len(arrays) + 1),
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((nch, rows, LANES), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=sum(int(x.size) * 4 for x in arrays)
+            + 2 * a.size * 4,
+            transcendentals=0,
+        ),
+    )(*arrays, a3)
+    return out.reshape(nch * rows, LANES)
+
+
+def pack_permute_plan(plan: PermutePlan) -> dict:
+    """Device-ready dict of all three stages + shape metadata."""
+    s1_arrays, s1_dims = pack_stage(plan.s1)
+    s2_arrays, s2_dims = pack_stage(plan.s2, bucket=False)
+    s3_arrays, s3_dims = pack_stage(plan.s3)
+    return {
+        "arrays": [
+            [jnp.asarray(x) for x in s1_arrays],
+            [jnp.asarray(x) for x in s2_arrays],
+            [jnp.asarray(x) for x in s3_arrays],
+        ],
+        "dims": [s1_dims, s2_dims, s3_dims],
+        "n": plan.n,
+        "num_windows": plan.num_windows,
+    }
+
+
+def permute_apply(
+    meta: dict, arrays, x: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """``y = x[perm]`` on device.  ``meta`` holds dims/shapes (static),
+    ``arrays`` the stage route arrays (explicit jit args).  ``x`` is f32
+    [n] (or longer; extra entries ignored).  Returns f32 [n]."""
+    n = meta["n"]
+    W = meta["num_windows"]
+    d1, d2, d3 = meta["dims"]
+    Wp1 = d1[0] * d1[1]
+    need = Wp1 * WINDOW
+    if x.shape[0] < need:
+        x = jnp.pad(x, (0, need - x.shape[0]))
+    else:
+        x = x[:need]
+    a = permute_stage_pallas(
+        arrays[0], d1, x.reshape(Wp1 * 8, LANES), interpret=interpret
+    )
+    # transpose to (1024, Wp1), pad cols to the S2 width (always 1024)
+    at = a.reshape(Wp1, WINDOW).T
+    Wp2 = d2[0] * d2[1]
+    at = jnp.pad(at, ((0, Wp2 - WINDOW), (0, WINDOW - Wp1)))
+    b = permute_stage_pallas(
+        arrays[1], d2, at.reshape(Wp2 * 8, LANES), interpret=interpret
+    )
+    # transpose back: rows become original window index; keep Wp3 of them
+    # (Wp3 <= 1024 always since W <= 1024)
+    bt = b.reshape(Wp2, WINDOW)[:WINDOW].T
+    Wp3 = d3[0] * d3[1]
+    bt = bt[:Wp3]
+    y = permute_stage_pallas(
+        arrays[2], d3, bt.reshape(Wp3 * 8, LANES), interpret=interpret
+    )
+    return y.reshape(-1)[:n]
