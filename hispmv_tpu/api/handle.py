@@ -102,6 +102,13 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
     from hispmv_tpu.ops.spmv_routed import spmv_routed_stream_pallas
 
     nwinp, nytp = meta["nwinp"], meta["nytp"]
+    if meta.get("xperm") is not None:
+        # rank-space plan: x -> rank space via the 3-stage permute kernels
+        from hispmv_tpu.ops.permute import panel_permute_apply_from
+
+        x = panel_permute_apply_from(
+            d, meta["xperm"], prefix + "xp", x, interpret=interp
+        )
     need = nwinp * 1024
     if x.shape[0] < need:
         x = jnp.pad(x, (0, need - x.shape[0]))
@@ -140,6 +147,12 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
             meta["rchunk"], meta["res_ov"], interpret=interp,
         )
         y = y + yr.reshape(-1)[:R]
+    if meta.get("yperm") is not None:
+        from hispmv_tpu.ops.permute import panel_permute_apply_from
+
+        y = panel_permute_apply_from(
+            d, meta["yperm"], prefix + "yp", y, interpret=interp
+        )
     return y
 
 
@@ -526,7 +539,33 @@ class SpmvHandle:
             "res_coo": False,
             "res_ov": 0,
             "rchunk": None,
+            "xperm": None,
+            "yperm": None,
         }
+        if plan.col_perms is not None:
+            # rank-space plan: x is permuted into rank space before the
+            # streams, y permuted back after (plan/permute.py 3-stage
+            # kernels; panel-local perms)
+            from hispmv_tpu.ops.permute import pack_permute_into
+            from hispmv_tpu.plan.permute import build_permute_plan
+
+            meta["xperm"] = [
+                pack_permute_into(
+                    d, build_permute_plan(p), prefix + f"xp{i}_"
+                )
+                for i, p in enumerate(plan.col_perms)
+            ]
+            yperms = []
+            for p in plan.row_perms:
+                inv = np.empty(len(p), np.int64)
+                inv[p] = np.arange(len(p))
+                yperms.append(inv)
+            meta["yperm"] = [
+                pack_permute_into(
+                    d, build_permute_plan(p), prefix + f"yp{i}_"
+                )
+                for i, p in enumerate(yperms)
+            ]
         n_res = len(plan.residual_vals)
         if n_res:
             # Small residuals: element scatter/gather (~16 ns/nnz) beats an
@@ -567,10 +606,20 @@ class SpmvHandle:
         """Routed-stream format (plan/routed.py + ops/spmv_routed.py):
         per-nnz vectorized execution with plan-time routing — the crossbar
         analog.  Conflict/noise residual rides an internal element-scatter
-        or row-granular ELLX executor added to y."""
-        from hispmv_tpu.plan.routed import build_routed_plan
+        or row-granular ELLX executor added to y.  With
+        ``config.rank_sort`` the plan is built in rank space (degree-sorted
+        rows/cols) and x/y ride the fast permutation kernels in and out —
+        the scale-free/HI-crossbar answer (plan/routed.py
+        build_ranked_routed_plan)."""
+        from hispmv_tpu.plan.routed import (
+            build_ranked_routed_plan,
+            build_routed_plan,
+        )
 
-        plan = build_routed_plan(coo)
+        if self.config.rank_sort:
+            plan = build_ranked_routed_plan(coo)
+        else:
+            plan = build_routed_plan(coo)
         self._routed_plan_meta = plan
         self._d = {}
         self._routed_meta = self._routed_pack_into(

@@ -37,6 +37,12 @@ class SpmvConfig:
         dispatch to pick the block path over the windowed format.
       value_dtype: payload dtype for block streams; "bfloat16" halves A-stream
         bytes in DMA-bound regimes (accumulation stays fp32 in the kernel).
+      rank_sort: execute the routed format in rank space — rows/columns
+        degree-sorted at plan time so power-law nonzeros concentrate into
+        dense tiles, with x permuted in and y permuted out through the
+        fast 3-stage permutation kernels (plan/permute.py).  The planner's
+        answer to the reference's HI crossbar load balancing
+        (base_functions.cpp:356-436) for scale-free matrices.
     """
 
     sublanes: int = 8
@@ -47,6 +53,7 @@ class SpmvConfig:
     col_reorder: bool = False
     min_block_fill: float = 0.125
     value_dtype: str = "float32"
+    rank_sort: bool = False
 
     @property
     def num_pes(self) -> int:
@@ -69,6 +76,8 @@ def encode_config_name(cfg: SpmvConfig) -> str:
         parts.append("Dense")
     if cfg.col_reorder:
         parts.append("CR")
+    if cfg.rank_sort:
+        parts.append("RS")
     if cfg.value_dtype == "bfloat16":
         parts.append("BF16")
     parts.append(f"SpMV-{cfg.num_pes}p-bh{cfg.block_h}")

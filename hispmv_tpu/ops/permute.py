@@ -142,6 +142,55 @@ def pack_permute_plan(plan: PermutePlan) -> dict:
     }
 
 
+def pack_permute_into(d: dict, plan: PermutePlan, prefix: str) -> dict:
+    """Store a plan's stage arrays in device dict ``d`` under ``prefix``;
+    returns the static meta (dims/shapes + array counts) the runner needs
+    to reassemble them (plan arrays ride as explicit jit args)."""
+    packed = pack_permute_plan(plan)
+    counts = []
+    for si, arrays in enumerate(packed["arrays"]):
+        counts.append(len(arrays))
+        for ai, a in enumerate(arrays):
+            d[f"{prefix}a{si}_{ai}"] = a
+    return {
+        "n": packed["n"],
+        "num_windows": packed["num_windows"],
+        "dims": packed["dims"],
+        "counts": counts,
+    }
+
+
+def permute_apply_from(
+    d: dict, meta: dict, prefix: str, x: jax.Array, *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Apply a plan stored by ``pack_permute_into``."""
+    arrays = [
+        [d[f"{prefix}a{si}_{ai}"] for ai in range(cnt)]
+        for si, cnt in enumerate(meta["counts"])
+    ]
+    return permute_apply(meta, arrays, x, interpret=interpret)
+
+
+def panel_permute_apply_from(
+    d: dict, metas: list, prefix: str, x: jax.Array, *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Apply per-panel plans to consecutive slices of ``x`` (panels of
+    plan/permute.py PANEL elements; the last may be shorter)."""
+    outs = []
+    base = 0
+    for i, meta in enumerate(metas):
+        seg = x[base : base + meta["n"]]
+        outs.append(
+            permute_apply_from(
+                d, meta, f"{prefix}{i}_", seg, interpret=interpret
+            )
+        )
+        base += meta["n"]
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
 def permute_apply(
     meta: dict, arrays, x: jax.Array, *, interpret: bool = False
 ) -> jax.Array:

@@ -316,6 +316,48 @@ def permute_numpy(plan: PermutePlan, x: np.ndarray) -> np.ndarray:
     return y.reshape(-1)[: plan.n]
 
 
+PANEL = WINDOW * WINDOW  # single-plan element limit (1 Mi)
+
+
+def degree_rank_perms(deg: np.ndarray):
+    """Degree-descending stable ranks, computed within PANEL-sized panels
+    (the permutation plans are panel-local, so axes longer than 1 Mi are
+    ranked per panel — concentration within a 1 Mi neighborhood is nearly
+    as good as global for the routed planner).
+
+    Returns ``(rank, perms)``: ``rank[i]`` = rank-space position of
+    original index i (``panel(rank[i]) == panel(i)``), and ``perms`` the
+    per-panel local permutations with ``ranked[p*PANEL + k] =
+    orig[p*PANEL + perms[p][k]]``."""
+    n = len(deg)
+    rank = np.empty(n, np.int64)
+    perms = []
+    for base in range(0, max(n, 1), PANEL):
+        end = min(base + PANEL, n)
+        local = np.argsort(-deg[base:end], kind="stable")
+        perms.append(local)
+        rank[base + local] = base + np.arange(end - base)
+    return rank, perms
+
+
+def build_panel_permute_plans(perms) -> list:
+    """One PermutePlan per panel-local permutation."""
+    return [build_permute_plan(p) for p in perms]
+
+
+def panel_permute_numpy(plans: list, x: np.ndarray) -> np.ndarray:
+    """Golden: apply per-panel plans to consecutive PANEL slices of x."""
+    out = np.empty_like(x)
+    base = 0
+    for plan in plans:
+        out[base : base + plan.n] = permute_numpy(
+            plan, x[base : base + plan.n]
+        )
+        base += plan.n
+    assert base == len(x)
+    return out
+
+
 # measured v5e per-window stage cost model (calibrated after build):
 # within-window kernel ~base + per-layer gather, plus two 4 MiB-class
 # transposes; see ops/permute.py for the kernel

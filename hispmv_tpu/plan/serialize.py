@@ -54,6 +54,14 @@ def _flatten(plan, prefix, fields, meta):
         v = getattr(plan, f.name)
         if isinstance(v, np.ndarray):
             fields[key] = v
+        elif (
+            isinstance(v, list) and v
+            and all(isinstance(a, np.ndarray) for a in v)
+        ):
+            # list of arrays (rank-space panel perms): one field per panel
+            meta[key + "__arraylist__"] = len(v)
+            for i, a in enumerate(v):
+                fields[key + f"__al{i}"] = a
         elif isinstance(v, SpmvConfig):
             meta[key + "__config__"] = dataclasses.asdict(v)
         elif dataclasses.is_dataclass(v) and not isinstance(v, type):
@@ -71,6 +79,11 @@ def _unflatten(prefix, z, meta):
         key = prefix + f.name
         if key in z.files:
             kwargs[f.name] = z[key]
+        elif key + "__arraylist__" in meta:
+            kwargs[f.name] = [
+                z[key + f"__al{i}"]
+                for i in range(meta[key + "__arraylist__"])
+            ]
         elif key + "__config__" in meta:
             kwargs[f.name] = SpmvConfig(**meta[key + "__config__"])
         elif (key + _SEP + "__plan_type__") in meta:

@@ -158,8 +158,8 @@ def count_blocks(
 def _label_format(label: str) -> str:
     """Candidate label -> handle format name."""
     stem = label.replace("-bf16", "")
-    if stem in ("dense", "stream", "split", "routed"):
-        return stem
+    if stem in ("dense", "stream", "split", "routed", "routed-rank"):
+        return "routed" if stem == "routed-rank" else stem
     if stem.startswith("ellx"):
         return "ellx"
     if stem.startswith("win"):
@@ -365,6 +365,42 @@ class DSE:
             )
             cands.append(("routed", t, base))
 
+        # Rank-space routed (degree-sorted rows/cols + fast permute
+        # sandwich): estimated on the ranked coordinates; pays two
+        # permutation passes but concentrates power-law nnz into dense
+        # low-layer tiles (plan/routed.py build_ranked_routed_plan).
+        # Only worth evaluating when the matrix is irregular enough that
+        # plain routed already carries real cost.
+        if rst["tiles"] and rst["est_ns"] > 50e3:
+            from hispmv_tpu.plan.permute import (
+                degree_rank_perms,
+                estimate_permute_cost_ns,
+            )
+
+            rrank, _ = degree_rank_perms(
+                np.bincount(coo.rows, minlength=R)
+            )
+            crank, _ = degree_rank_perms(
+                np.bincount(coo.cols, minlength=C)
+            )
+            rstr = estimate_routed_cost_ns(
+                rrank[coo.rows.astype(np.int64)],
+                crank[coo.cols.astype(np.int64)],
+                coo.shape,
+            )
+            if rstr["tiles"] and self.model.fits(rstr["stream_bytes"]):
+                t = self.model.routed_seconds(
+                    rstr["est_ns"], rstr["stream_bytes"],
+                    rstr["residual"], R, C,
+                ) + (
+                    estimate_permute_cost_ns(C)
+                    + estimate_permute_cost_ns(R)
+                ) / 1e9
+                cands.append((
+                    "routed-rank", t,
+                    dataclasses.replace(base, rank_sort=True),
+                ))
+
         # Gather stream.
         P = base.num_pes
         thresh = base.split_threshold or derive_split_threshold(nnz, P)
@@ -431,7 +467,11 @@ def measure_candidates(
     seen_cfg = set()
     for label, est in shortlist:
         fmt = _label_format(label)
-        if fmt in ("dense", "stream", "routed"):
+        if label == "routed-rank":
+            cfg = dataclasses.replace(result.config, rank_sort=True)
+        elif label == "routed":
+            cfg = dataclasses.replace(result.config, rank_sort=False)
+        elif fmt in ("dense", "stream"):
             cfg = result.config
         elif fmt == "split":
             cfg = dataclasses.replace(result.config, block_h=1)
@@ -443,7 +483,7 @@ def measure_candidates(
                 result.config, block_h=bh,
                 value_dtype="bfloat16" if bf16 else "float32",
             )
-        key = (fmt, cfg.block_h, cfg.value_dtype)
+        key = (fmt, cfg.block_h, cfg.value_dtype, cfg.rank_sort)
         if key in seen_cfg:
             continue
         seen_cfg.add(key)

@@ -172,3 +172,96 @@ def test_routed_handle_with_residual(n):
     np.testing.assert_allclose(
         np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-space (degree-sorted) routed execution — the scale-free answer
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "gen,shape,nnz,seed",
+    [
+        (powerlaw_coo, (4000, 4000), 60_000, 7),
+        (rmat_coo, (4096, 4096), 50_000, 8),
+        (random_coo, (900, 700), 8_000, 9),
+    ],
+)
+def test_ranked_plan_numpy_golden(gen, shape, nnz, seed):
+    from hispmv_tpu.plan.routed import build_ranked_routed_plan
+
+    coo = gen(*shape, nnz, seed=seed)
+    plan = build_ranked_routed_plan(coo)
+    assert plan.col_perms is not None and plan.row_perms is not None
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal(coo.num_cols).astype(np.float32)
+    y = routed_matvec_numpy(plan, x)
+    g = golden(coo, x)
+    assert np.allclose(y, g, rtol=1e-3, atol=1e-4)
+
+
+def test_ranked_concentrates_powerlaw():
+    """Rank space must not be worse than original space on a power-law
+    matrix (the whole point), and residual must stay negligible."""
+    from hispmv_tpu.plan.routed import (
+        build_ranked_routed_plan,
+        build_routed_plan,
+        plan_cost_ns,
+    )
+
+    coo = rmat_coo(8192, 8192, 200_000, seed=11)
+    p0 = build_routed_plan(coo)
+    p1 = build_ranked_routed_plan(coo)
+    assert plan_cost_ns(p1) <= plan_cost_ns(p0) * 1.1
+    assert len(p1.residual_vals) <= max(10, coo.nnz // 100)
+
+
+def test_ranked_handle_interpret():
+    from hispmv_tpu.api.handle import SpmvHandle
+    from hispmv_tpu.config import SpmvConfig
+
+    coo = powerlaw_coo(5000, 6000, 90_000, seed=13)
+    h = SpmvHandle(
+        coo, config=SpmvConfig(rank_sort=True), format="routed",
+        interpret=True,
+    )
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(coo.num_cols).astype(np.float32)
+    g = golden(coo, x)
+    y = np.asarray(h.run(x))
+    assert (np.abs(y - g) <= 1e-4 + 1e-3 * np.abs(g)).all()
+    # axpby epilogue contract
+    y_in = np.ones(coo.num_rows, np.float32)
+    y2 = np.asarray(h.run(x, y_in=y_in, alpha=2.0, beta=0.5))
+    assert np.allclose(y2, 2 * g + 0.5, rtol=1e-3, atol=1e-3)
+
+
+def test_ranked_plan_serialize_roundtrip(tmp_path):
+    from hispmv_tpu.api.handle import SpmvHandle
+    from hispmv_tpu.plan.routed import build_ranked_routed_plan
+    from hispmv_tpu.plan.serialize import load_plan, save_plan
+
+    coo = powerlaw_coo(3000, 3000, 40_000, seed=17)
+    plan = build_ranked_routed_plan(coo)
+    path = str(tmp_path / "rank.npz")
+    save_plan(path, plan)
+    p2 = load_plan(path)
+    assert all(
+        np.array_equal(a, b)
+        for a, b in zip(p2.col_perms, plan.col_perms)
+    )
+    h = SpmvHandle.from_plan(p2, interpret=True)
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal(coo.num_cols).astype(np.float32)
+    g = golden(coo, x)
+    y = np.asarray(h.run(x))
+    assert (np.abs(y - g) <= 1e-4 + 1e-3 * np.abs(g)).all()
+
+
+def test_dse_offers_routed_rank():
+    from hispmv_tpu.tune.dse import DSE
+
+    coo = rmat_coo(16384, 16384, 600_000, seed=19)
+    res = DSE().explore(coo)
+    labels = [l for l, _ in res.candidates]
+    assert "routed-rank" in labels
