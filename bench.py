@@ -127,8 +127,9 @@ def bench_matrix(name: str, scale: float) -> dict:
     # captured y) and the loop-slope timing; the executable is serialized to
     # disk so later runs (and the driver's) skip the backend compile.
     os.makedirs("/tmp/hispmv_exec_cache", exist_ok=True)
-    # v2: cache schema version (argument pytrees changed across rounds)
-    cfg_tag = f"v2-{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
+    # v3: cache schema version (bump on any kernel code change — the
+    # serialized executable would otherwise resurrect the old kernel)
+    cfg_tag = f"v3-{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
     exec_cache = f"/tmp/hispmv_exec_cache/{name}-{scale}-{cfg_tag}.pkl"
     # Plan arrays ride as explicit jit args (closure capture would ship
     # them as constants to the remote compile service).

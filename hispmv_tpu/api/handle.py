@@ -114,18 +114,20 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
         x = jnp.pad(x, (0, need - x.shape[0]))
     x2d = x.reshape(-1, LANES)
     y2d = None
-    for i, sm in enumerate(meta["streams"]):
-        names = (
-            ("vals", "route", "route2", "rsub", "bl", "bs")
-            if sm["has_route2"] else ("vals", "route", "rsub", "bl", "bs")
-        )
-        p = prefix + f"s{i}_"
-        packed = tuple(d[p + n] for n in names) + (
-            d[p + "win"], d[p + "byt"], d[p + "lt"])
-        ys = spmv_routed_stream_pallas(
-            packed, sm["dims"], x2d, nytp, interpret=interp,
-        )
-        y2d = ys if y2d is None else y2d + ys
+    for i, seg_metas in enumerate(meta["streams"]):
+        for gi, sm in enumerate(seg_metas):
+            names = (
+                ("vals", "route", "route2", "rsub", "bl", "bs")
+                if sm["has_route2"]
+                else ("vals", "route", "rsub", "bl", "bs")
+            )
+            p = prefix + f"s{i}g{gi}_"
+            packed = tuple(d[p + n] for n in names) + (
+                d[p + "win"], d[p + "byt"], d[p + "lt"])
+            ys = spmv_routed_stream_pallas(
+                packed, sm["dims"], x2d, nytp, interpret=interp,
+            )
+            y2d = ys if y2d is None else y2d + ys
     if y2d is None:
         y = jnp.zeros((R,), jnp.float32)
     else:
@@ -521,15 +523,17 @@ class SpmvHandle:
 
         streams_meta = []
         for i, s in enumerate(plan.streams):
-            packed, dims = pack_stream(s)
-            has_route2 = len(packed) == 9
-            names = (
-                ("vals", "route", "route2", "rsub", "bl", "bs")
-                if has_route2 else ("vals", "route", "rsub", "bl", "bs")
-            ) + ("win", "byt", "lt")
-            for n, a in zip(names, packed):
-                d[prefix + f"s{i}_" + n] = jnp.asarray(a)
-            streams_meta.append({"dims": dims, "has_route2": has_route2})
+            seg_metas = []
+            for gi, (packed, dims) in enumerate(pack_stream(s)):
+                has_route2 = len(packed) == 9
+                names = (
+                    ("vals", "route", "route2", "rsub", "bl", "bs")
+                    if has_route2 else ("vals", "route", "rsub", "bl", "bs")
+                ) + ("win", "byt", "lt")
+                for n, a in zip(names, packed):
+                    d[prefix + f"s{i}g{gi}_" + n] = jnp.asarray(a)
+                seg_metas.append({"dims": dims, "has_route2": has_route2})
+            streams_meta.append(seg_metas)
         meta = {
             "streams": streams_meta,
             # pow-2 buckets -> shared compiled kernels across matrices

@@ -1,15 +1,14 @@
 """Within-window permutation Pallas kernel + full-permutation driver.
 
-Executes plan/permute.py stages: each (8,128) window is permuted by up to
-8 layers of composed sublane/lane take_along_axis gathers (the routed
-pass-1 decode, ops/spmv_routed.py, minus the window table — sources stay
-within the same window, so input and output blocks are aligned and no
-resident operand is needed).
+Executes plan/permute.py stages: each (8,128) window is permuted by
+EXACTLY three take_along_axis gathers — sublane, lane, sublane — routed
+at plan time by an 8-color Clos edge coloring; all three index fields
+ride one i32 route word per element.
 
 The full permutation is S1 -> transpose -> S2 -> transpose -> S3 with the
-transposes left to XLA (near memory speed on 2-D f32).  ~0.1 ns/element
-measured end-to-end vs ~7-16 ns for an XLA element gather — this is what
-makes rank-space (degree-sorted) SpMV execution affordable.
+transposes left to XLA (near memory speed on 2-D f32).  This is what
+makes rank-space (degree-sorted) SpMV execution affordable vs ~7-16 ns
+per element for an XLA gather.
 """
 
 from __future__ import annotations
@@ -40,53 +39,33 @@ def _srl(x, n):
 
 
 def pack_stage(stage: WindowStage, tchunk: int = TCHUNK, bucket: bool = True):
-    """Pad a stage's route arrays to whole chunks (optionally bucketing the
+    """Pad a stage's route array to whole chunks (optionally bucketing the
     chunk count to a power of two for executable reuse).  Returns
-    (arrays, (nch, tchunk, l1))."""
+    (arrays, (nch, tchunk)).  Padding windows get identity routing
+    (route word 0 = subA 0 | laneB 0 | subC 0) — they only permute
+    padding data, so any fixed routing is fine."""
     W = stage.num_windows
     nch = max(-(-W // tchunk), 1)
     if bucket:
         nch = _bucket(nch)
     Wp = nch * tchunk
-    l1 = stage.l1 if not bucket else _bucket(stage.l1)
 
     route = np.zeros((Wp, 8, LANES), np.int32)
     route[:W] = stage.route
-    rsub = np.zeros((Wp, 8, LANES), np.int32)
-    rsub[:W] = stage.rsub
-    arrays = [route.reshape(nch, tchunk * 8, LANES)]
-    if l1 > 4:
-        route2 = np.zeros((Wp, 8, LANES), np.int32)
-        if stage.route2 is not None:
-            route2[:W] = stage.route2
-        arrays.append(route2.reshape(nch, tchunk * 8, LANES))
-    arrays.append(rsub.reshape(nch, tchunk * 8, LANES))
-    return tuple(arrays), (nch, tchunk, l1)
+    return (route.reshape(nch, tchunk * 8, LANES),), (nch, tchunk)
 
 
-def _permute_kernel(*refs, tchunk: int, l1: int, has_route2: bool):
-    if has_route2:
-        route_ref, route2_ref, rsub_ref, in_ref, out_ref = refs
-    else:
-        route_ref, rsub_ref, in_ref, out_ref = refs
-        route2_ref = None
+def _permute_kernel(route_ref, in_ref, out_ref, *, tchunk: int):
     for j in range(tchunk):
         sl = slice(j * 8, (j + 1) * 8)
         win8 = in_ref[0, sl, :]
         route = route_ref[0, sl, :]
-        rsub = rsub_ref[0, sl, :]
-        rank = _srl(route, 28) & 7
-        acc = jnp.zeros((8, LANES), jnp.float32)
-        for l in range(l1):
-            if l < 4:
-                lane = _srl(route, 7 * l) & 127
-            else:
-                lane = _srl(route2_ref[0, sl, :], 7 * (l - 4)) & 127
-            sub = _srl(rsub, 3 * l) & 7
-            t1 = jnp.take_along_axis(win8, sub, axis=0)
-            g = jnp.take_along_axis(t1, lane, axis=1)
-            acc = jnp.where(rank == l, g, acc)
-        out_ref[0, sl, :] = acc
+        subA = route & 7
+        laneB = _srl(route, 3) & 127
+        subC = _srl(route, 10) & 7
+        a = jnp.take_along_axis(win8, subA, axis=0)
+        b = jnp.take_along_axis(a, laneB, axis=1)
+        out_ref[0, sl, :] = jnp.take_along_axis(b, subC, axis=0)
 
 
 def permute_stage_pallas(
@@ -94,8 +73,7 @@ def permute_stage_pallas(
 ) -> jax.Array:
     """Apply one within-window stage to ``a`` f32 [Wp*8, 128] (Wp from
     dims); returns the permuted array of the same shape."""
-    nch, tchunk, l1 = dims
-    has_route2 = len(arrays) == 3
+    nch, tchunk = dims[0], dims[1]
     rows = tchunk * 8
 
     def spec():
@@ -105,9 +83,7 @@ def permute_stage_pallas(
         )
 
     a3 = a.reshape(nch, rows, LANES)
-    kernel = functools.partial(
-        _permute_kernel, tchunk=tchunk, l1=l1, has_route2=has_route2
-    )
+    kernel = functools.partial(_permute_kernel, tchunk=tchunk)
     out = pl.pallas_call(
         kernel,
         grid=(nch,),

@@ -21,8 +21,9 @@ analog of the reference's per-nnz dataflow: the butterfly crossbar and
 out-of-order scheduler become plan-time routing arrays
 (base_functions.cpp:356-436, spmv-helper.cpp:429-515).
 
-Measured (v5e, loop-slope): ~61.5 ns per tile + ~3.4 ns per pass-1 layer
-+ ~9.5 ns per boundary layer.
+Measured (v5e, loop-slope, unconditional phase C): ~54 ns per tile at
+tchunk=16 (phases A+B) + ~3.4 ns per pass-1 layer + ~9.4 ns per boundary
+layer (every class-cap layer runs; padded layers add exact zeros).
 """
 
 from __future__ import annotations
@@ -55,25 +56,47 @@ def chunk_for_stream(s: RoutedStream) -> int:
     the double-buffered stream window inside VMEM."""
     if s.lmax <= 8:
         return DEFAULT_TCHUNK
-    if s.lmax <= 16:
+    if s.lmax <= 32:
         return 8
     return 4
 
 
-def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
-    """Pad one compressed stream to whole chunks; bucket chunk count and
-    layer dims to powers of two so differently-sized matrices share one
-    compiled kernel (padding is all-zero and contributes nothing).
+def _chunk_terms(nch: int, max_terms: int = 4) -> list:
+    """Binary decomposition of a chunk count into descending powers of two
+    (each term = one kernel launch whose pow-2 grid executable is shared
+    across matrices).  Capped at ``max_terms``: the remainder is rounded
+    UP to one final pow-2 term (at most tchunk-1+2^k padded tiles, where
+    a padded chunk costs about one launch)."""
+    terms = []
+    rem = max(nch, 1)
+    while rem and len(terms) < max_terms - 1:
+        k = 1 << (rem.bit_length() - 1)
+        terms.append(k)
+        rem -= k
+    if rem:
+        terms.append(_bucket(rem))
+    return terms
 
-    Returns (vals, route, [route2,] rsub, bl, bs, win, byt, lt), with
-    dims (nch, tchunk, l1p, lp)."""
+
+def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
+    """Pad one compressed stream to whole chunks and split it into
+    pow-2-grid SEGMENTS (``_chunk_terms``): every segment's kernel grid is
+    a power of two — so differently-sized matrices share compiled
+    executables — while padding stays under ~1 chunk (the unconditional
+    kernel executes padded tiles at full cost, so rounding the whole
+    stream up to a pow-2 grid would waste up to 2x).
+
+    Returns a list of ((vals, route, [route2,] rsub, bl, bs, win, byt,
+    lt), dims) segments with dims (nch, tchunk, l1p, lp).  Layer dims are
+    bucketed to powers of two (``bucket=False`` disables all bucketing
+    and returns one exact-size segment)."""
     tchunk = tchunk or chunk_for_stream(s)
     T = s.num_tiles
     nch = max(-(-T // tchunk), 1)
     l1p = s.l1 if not bucket else _bucket(s.l1)
     lp = s.lmax if not bucket else _bucket(s.lmax)
-    if bucket:
-        nch = _bucket(nch)
+    terms = _chunk_terms(nch) if bucket else [nch]
+    nch = sum(terms)
     Tp = nch * tchunk
     npair = -(-lp // 2)
     nquad = -(-lp // 4)
@@ -100,22 +123,36 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     lt = np.zeros(Tp, np.int32)  # padding tiles: 0 layers -> all skipped
     lt[:T] = s.lt
 
-    out = [
+    full = [
         vals.reshape(nch, tchunk * 8, LANES),
         route.reshape(nch, tchunk * 8, LANES),
     ]
     if route2 is not None:
-        out.append(route2.reshape(nch, tchunk * 8, LANES))
-    out += [
+        full.append(route2.reshape(nch, tchunk * 8, LANES))
+    full += [
         rsub.reshape(nch, tchunk * 8, LANES),
         bl.reshape(nch, tchunk * npair * 8, LANES),
         bs.reshape(nch, tchunk * nquad * 8, LANES),
         # scalar-prefetch tables FLATTENED to 1-D: SMEM pads 2-D operands
         # per ROW (~512 B), so [T, 1] tables would cost T*512 B and blow
         # the 1 MiB SMEM budget at a few thousand tiles
-        win.reshape(-1), byt.reshape(-1), lt,
+        win.reshape(nch, tchunk * l1p),
+        byt.reshape(nch, tchunk * lp),
+        lt.reshape(nch, tchunk),
     ]
-    return tuple(out), (nch, tchunk, l1p, lp)
+    segments = []
+    off = 0
+    for term in terms:
+        seg = tuple(
+            np.ascontiguousarray(a[off : off + term])
+            if a.ndim == 3
+            # prefetch tables go back to flat 1-D per segment
+            else np.ascontiguousarray(a[off : off + term]).reshape(-1)
+            for a in full
+        )
+        segments.append((seg, (term, tchunk, l1p, lp)))
+        off += term
+    return segments
 
 
 def _srl(x, n):
@@ -125,7 +162,8 @@ def _srl(x, n):
 def _routed_kernel(
     win_ref,  # i32 [Tp*l1] scalar prefetch: x window per pass-1 layer
     byt_ref,  # i32 [Tp*lp] scalar prefetch: y tile per boundary layer
-    lt_ref,  # i32 [Tp] scalar prefetch: ACTUAL boundary layers per tile
+    lt_ref,  # i32 [Tp] actual layers/tile — kept in the prefetch layout
+    # for diagnostics/serialization but UNUSED here (see phase C note)
     *refs,
     tchunk: int,
     l1: int,
@@ -197,31 +235,31 @@ def _routed_kernel(
     pf_all = incl + carry  # (M, 128)
 
     # ---- phase C: boundary extraction + per-layer y accumulation --------
-    # layers beyond the tile's ACTUAL count (class caps pad streams to a
-    # shared shape) are skipped entirely: a scattered-heavy class charges
-    # each tile its own layers, not the cap
+    # ALL lmax layers run unconditionally: layers beyond a tile's actual
+    # count carry zero valid bits, so their ga/gb are exact zeros and the
+    # y add is a no-op (on y tile 0).  Predicating each layer with
+    # @pl.when(k < lt[t]) was measured (v5e, 2026-08-17 dissection) at
+    # ~100 ns per EXECUTED layer vs ~9.4 ns unconditional — each branch
+    # region serializes the VMEM read-modify-write pipeline.  The class
+    # split (plan/routed.py) bounds the padding this trades for.
     for j in range(tchunk):
         pf = pf_all[j * 8 : (j + 1) * 8, :]
-        lt_j = lt_ref[i * tchunk + j]
         for k in range(lmax):
-
-            @pl.when(k < lt_j)
-            def _layer(j=j, k=k, pf=pf):
-                offp = (j * npair + k // 2) * 8
-                raw = _srl(bl_ref[0, offp : offp + 8, :], 16 * (k % 2))
-                offq = (j * nquad + k // 4) * 8
-                q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
-                ga = jnp.take_along_axis(
-                    jnp.take_along_axis(pf, q & 7, axis=0),
-                    raw & 127, axis=1,
-                ) * (_srl(raw, 7) & 1).astype(jnp.float32)
-                gb = jnp.take_along_axis(
-                    jnp.take_along_axis(pf, _srl(q, 4) & 7, axis=0),
-                    _srl(raw, 8) & 127, axis=1,
-                ) * (_srl(raw, 15) & 1).astype(jnp.float32)
-                b = byt_ref[(i * tchunk + j) * lmax + k]
-                prev = y_ref[pl.ds(b * 8, 8), :]
-                y_ref[pl.ds(b * 8, 8), :] = prev + ga - gb
+            offp = (j * npair + k // 2) * 8
+            raw = _srl(bl_ref[0, offp : offp + 8, :], 16 * (k % 2))
+            offq = (j * nquad + k // 4) * 8
+            q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
+            ga = jnp.take_along_axis(
+                jnp.take_along_axis(pf, q & 7, axis=0),
+                raw & 127, axis=1,
+            ) * (_srl(raw, 7) & 1).astype(jnp.float32)
+            gb = jnp.take_along_axis(
+                jnp.take_along_axis(pf, _srl(q, 4) & 7, axis=0),
+                _srl(raw, 8) & 127, axis=1,
+            ) * (_srl(raw, 15) & 1).astype(jnp.float32)
+            b = byt_ref[(i * tchunk + j) * lmax + k]
+            prev = y_ref[pl.ds(b * 8, 8), :]
+            y_ref[pl.ds(b * 8, 8), :] = prev + ga - gb
 
 
 def spmv_routed_stream_pallas(

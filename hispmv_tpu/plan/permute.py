@@ -22,10 +22,11 @@ bipartite multigraph {src_window -> dst_window}; a coloring always exists
 levels), in native C++ for large N (hispmv_native.euler_color) with a
 pure-Python fallback.
 
-A within-window permutation always fits the two-level gather with at most
-8 layers (there are only 8 sublanes, and the layer construction assigns
-one distinct source sublane per (payload row, source lane) pair per
-layer — the same conflict rule as routed pass 1, plan/routed.py:159-176).
+A within-window permutation is itself Clos-decomposed into EXACTLY three
+gathers (sublane, lane, sublane): an 8-color edge coloring of the
+src-lane/dst-lane bipartite multigraph (8-regular, so colorable by
+Konig) assigns each element its intermediate sublane.  One i32 route
+word per element carries all three index fields.
 
 This is the plan-time answer to the reference's hardware shuffle networks
 (base_functions.cpp:417-436 SSW): data movement is resolved into static
@@ -37,12 +38,9 @@ rank space and y back out of it in ~0.1 ns/element instead of ~7-16.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 
 WINDOW = 1024
-L1_CAP = 8
 
 
 # ---------------------------------------------------------------------------
@@ -113,20 +111,24 @@ def _color_py(sw: np.ndarray, dw: np.ndarray, d: int) -> np.ndarray:
     return colors
 
 
-def color_permutation(sw: np.ndarray, dw: np.ndarray) -> np.ndarray:
-    """Edge-color the window multigraph of a padded permutation (every
-    window has exactly WINDOW edges on each side).  Uses the native C++
-    pass when available (the pure-Python walk is O(N) but slow at
-    millions of elements)."""
+def color_permutation(
+    sw: np.ndarray, dw: np.ndarray, d: int = WINDOW
+) -> np.ndarray:
+    """Edge-color a d-regular bipartite multigraph (d a power of two):
+    edges sharing a left or right vertex get distinct colors.  Used at
+    d=WINDOW for the window-level stage decomposition and at d=8 for the
+    within-window sublane routing.  Uses the native C++ pass when
+    available (the pure-Python walk is O(N) but slow at millions of
+    elements)."""
     from hispmv_tpu import native
 
     colors = native.euler_color(
-        sw.astype(np.int32), dw.astype(np.int32), WINDOW
+        sw.astype(np.int32), dw.astype(np.int32), d
     )
     if colors is not None:
         return colors
     return _color_py(
-        sw.astype(np.int64), dw.astype(np.int64), WINDOW
+        sw.astype(np.int64), dw.astype(np.int64), d
     )
 
 
@@ -135,104 +137,69 @@ def color_permutation(sw: np.ndarray, dw: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _distinct_sub_rank(group: np.ndarray, sub: np.ndarray) -> np.ndarray:
-    # identical contract to plan/routed.py:_distinct_sub_rank
-    key = group * 8 + sub
-    o = np.argsort(key, kind="stable")
-    k_s = key[o]
-    new_s = np.ones(len(o), bool)
-    new_s[1:] = k_s[1:] != k_s[:-1]
-    new_g = np.ones(len(o), bool)
-    new_g[1:] = (k_s[1:] >> 3) != (k_s[:-1] >> 3)
-    did = np.cumsum(new_s) - 1
-    fd = np.where(new_g, did, 0)
-    np.maximum.accumulate(fd, out=fd)
-    rank = np.empty(len(group), np.int64)
-    rank[o] = did - fd
-    return rank
-
-
 @dataclasses.dataclass
 class WindowStage:
     """One within-window permutation stage, packed for the Pallas kernel.
 
-    ``out[w, s, j] = in[w, sub_l(s, lane_l(s, j)), lane_l(s, j)]`` where
-    ``l = rank(s, j)`` — the routed pass-1 decode (ops/spmv_routed.py)."""
+    A within-(8,128) permutation is itself Clos-decomposed into exactly
+    three gathers — sublane, then lane, then sublane (the 8-color edge
+    coloring of the src-lane/dst-lane bipartite multigraph picks each
+    element's intermediate sublane).  All three index fields ride one i32:
+
+        a[r, j]  = in[subA(r, j), j]        bits 0-2
+        b[r, dj] = a[r, laneB(r, dj)]       bits 3-9
+        out[s,j] = b[subC(s, j), j]         bits 10-12
+    """
 
     num_windows: int
-    l1: int
-    route: np.ndarray  # i32 [W, 8, 128]: lane 7b/layer (l%4) | rank<<28
-    route2: Optional[np.ndarray]  # i32 [W, 8, 128]: lanes for layers 4-7
-    rsub: np.ndarray  # i32 [W, 8, 128] per SOURCE lane: sub 3b/layer
+    route: np.ndarray  # i32 [W, 8, 128]: subA | laneB<<3 | subC<<10
 
     @property
     def stream_bytes(self) -> int:
-        n = self.route.nbytes + self.rsub.nbytes
-        if self.route2 is not None:
-            n += self.route2.nbytes
-        return n
+        return self.route.nbytes
 
 
 def pack_window_stage(src: np.ndarray) -> WindowStage:
     """Pack within-window source indices ``src`` [W, 1024] (each row a
-    permutation of 0..1023) into gather-route bitfields."""
+    permutation of 0..1023) into the 3-gather Clos routing."""
     W = src.shape[0]
     src = src.astype(np.int64)
-    lane = src % 128
-    sub = src // 128
-    s_of = np.broadcast_to(
-        (np.arange(WINDOW) // 128)[None, :], src.shape
+    dpos = np.broadcast_to(
+        np.arange(WINDOW, dtype=np.int64)[None, :], src.shape
     )
-    w_of = np.broadcast_to(np.arange(W)[:, None], src.shape)
-    group = (w_of * 8 + s_of) * 128 + lane
-    rank = _distinct_sub_rank(group.ravel(), sub.ravel()).reshape(src.shape)
-    l1 = int(rank.max()) + 1 if src.size else 1
-    # only 8 sublanes exist, so ranks are < 8 by construction
-    assert l1 <= L1_CAP
-
-    route = np.where(rank < 4, lane << (7 * (rank % 4)), 0) | (rank << 28)
-    route = route.astype(np.int64).astype(np.uint32).view(np.int32)
-    route = route.reshape(W, 8, 128)
-    route2 = None
-    if l1 > 4:
-        r2 = np.where(rank >= 4, lane << (7 * (rank - 4)), 0)
-        route2 = (
-            r2.astype(np.int64).astype(np.uint32).view(np.int32)
-            .reshape(W, 8, 128)
-        )
-    # rsub: per (window, payload row, SOURCE lane, layer) — unique by the
-    # rank construction, so a plain scatter-accumulate of shifted subs
-    rsub = np.zeros(W * 8 * 128, np.int64)
-    cell = (w_of * 8 + s_of) * 128 + lane
-    np.add.at(rsub, cell.ravel(), (sub << (3 * rank)).ravel())
-    rsub = rsub.astype(np.uint32).view(np.int32).reshape(W, 8, 128)
-    return WindowStage(
-        num_windows=W, l1=l1, route=route, route2=route2, rsub=rsub
-    )
+    w_of = np.broadcast_to(np.arange(W, dtype=np.int64)[:, None], src.shape)
+    w = w_of.ravel()
+    sj, ss = (src % 128).ravel(), (src // 128).ravel()
+    dj, ds = (dpos % 128).ravel(), (dpos // 128).ravel()
+    # 8-regular bipartite multigraph: left = (window, src lane), right =
+    # (window, dst lane); the 8-coloring is each element's intermediate
+    # sublane r (distinct per src lane and per dst lane by Konig)
+    r = color_permutation(w * 128 + sj, w * 128 + dj, d=8).astype(np.int64)
+    subA = np.zeros((W, 8, 128), np.int64)
+    subA[w, r, sj] = ss
+    laneB = np.zeros((W, 8, 128), np.int64)
+    laneB[w, r, dj] = sj
+    subC = np.zeros((W, 8, 128), np.int64)
+    subC[w, ds, dj] = r
+    route = (subA | (laneB << 3) | (subC << 10)).astype(np.int32)
+    return WindowStage(num_windows=W, route=route)
 
 
 def stage_matvec_numpy(stage: WindowStage, a: np.ndarray) -> np.ndarray:
     """Golden executor: apply one stage to ``a`` [W, 1024] (any dtype)."""
     W = stage.num_windows
     out = np.zeros_like(a)
-    route_u = stage.route.view(np.uint32)
-    rsub_u = stage.rsub.view(np.uint32)
+    route = stage.route.astype(np.int64)
     lanes = np.arange(128)
     for w in range(W):
         win8 = a[w].reshape(8, 128)
-        rank = (route_u[w] >> 28) & 7
-        acc = np.zeros((8, 128), a.dtype)
-        for l in range(stage.l1):
-            if l < 4:
-                lane = (route_u[w] >> (7 * l)) & 127
-            else:
-                lane = (stage.route2[w].view(np.uint32) >> (7 * (l - 4))) \
-                    & 127
-            sub = (rsub_u[w] >> (3 * l)) & 7
-            t1 = win8[sub, lanes[None, :]]
-            g = np.take_along_axis(t1, lane.astype(np.int64), axis=1)
-            acc = np.where(rank == l, g, acc)
-        out[w] = acc.reshape(-1)
+        subA = route[w] & 7
+        laneB = (route[w] >> 3) & 127
+        subC = (route[w] >> 10) & 7
+        t1 = win8[subA, lanes[None, :]]
+        t2 = np.take_along_axis(t1, laneB, axis=1)
+        t3 = t2[subC, lanes[None, :]]
+        out[w] = t3.reshape(-1)
     return out
 
 
@@ -359,10 +326,9 @@ def panel_permute_numpy(plans: list, x: np.ndarray) -> np.ndarray:
 
 
 # measured v5e per-window stage cost model (calibrated after build):
-# within-window kernel ~base + per-layer gather, plus two 4 MiB-class
-# transposes; see ops/permute.py for the kernel
-STAGE_BASE_NS = 25.0
-STAGE_LAYER_NS = 4.0
+# within-window kernel = decode + exactly 3 gathers per window, plus two
+# 4 MiB-class transposes; see ops/permute.py for the kernel
+STAGE_WINDOW_NS = 18.0
 TRANSPOSE_NS_PER_MB = 2600.0  # ~400 GB/s effective r+w
 
 
@@ -370,7 +336,6 @@ def estimate_permute_cost_ns(n: int) -> float:
     """Rough device cost of applying a permutation of n elements: three
     stage kernels (S2 fixed at 1024 windows) + two transposes."""
     W = max(-(-n // WINDOW), 1)
-    stage_w = STAGE_BASE_NS + STAGE_LAYER_NS * 4  # typical l1 ~4-5
-    t_stages = (2 * W + WINDOW) * stage_w
+    t_stages = (2 * W + WINDOW) * STAGE_WINDOW_NS
     t_transpose = 2 * (WINDOW * W * 4 / 1e6) * TRANSPOSE_NS_PER_MB
     return t_stages + t_transpose + 3000.0

@@ -69,18 +69,17 @@ from hispmv_tpu.formats.matrix import COOMatrix
 WINDOW = 1024  # columns per window = one (8,128) x tile
 TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 
-# Measured per-tile cost constants (v5e, loop-slope, 2026-08-17 v2-kernel
-# microbench: 64.9 ns at l1=1/L=1, 4.0 ns per extra pass-1 layer, 13.9-14.6
-# ns per extra boundary layer at high L incl. its stream DMA) used for the
-# tile-vs-residual demotion rule and stream classing.
-TILE_BASE_NS = 65.0
+# Measured per-tile cost constants (v5e, loop-slope, 2026-08-17 phase
+# dissection of the UNCONDITIONAL kernel: 54 ns/tile phases A+B at
+# tchunk=16, +~4 ns per extra pass-1 layer, +9.4 ns per boundary layer
+# incl. its dynamic y read-modify-write and stream DMA) used for the
+# tile-vs-residual demotion rule and stream classing.  Every class-cap
+# layer executes (padded layers add exact zeros), so a tile is charged
+# its CLASS's lmax, not its own layer count — which is what the class
+# split bounds.
+TILE_BASE_NS = 54.0
 TILE_L1_NS = 4.0
-TILE_BND_NS = 13.5
-# per-tile predication splits the boundary-layer cost: layers the class
-# cap pads but the tile skips cost only their stream DMA (~3 KB per layer
-# per tile at 794 GB/s); executed layers cost the rest
-BND_DMA_NS = 3.8
-BND_COMP_NS = TILE_BND_NS - BND_DMA_NS
+TILE_BND_NS = 9.4
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
 
 L1_CAP = 8  # pass-1 layers (window chains + conflict ranks)
@@ -103,8 +102,9 @@ class RoutedStream:
     bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]
     bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]
     byt: np.ndarray  # i32 [T, lmax]
-    lt: np.ndarray  # i32 [T]: ACTUAL boundary layers per tile — the
-    # kernel skips layers >= lt[t] (class caps pad the stream, not time)
+    lt: np.ndarray  # i32 [T]: ACTUAL boundary layers per tile (kept for
+    # diagnostics/cost analysis; the kernel runs every class-cap layer —
+    # padded layers carry zero valid bits and add exact zeros)
 
     @property
     def stream_bytes(self) -> int:
@@ -257,7 +257,7 @@ def estimate_routed_cost_ns(
     cost_g = tiles_g * (
         TILE_BASE_NS
         + TILE_L1_NS * (l1_g - 1)
-        + TILE_BND_NS * (L_g - 1)
+        + TILE_BND_NS * L_g
     )
     # demotion: groups whose per-nnz cost exceeds the element residual
     demote = cost_g > RESIDUAL_NS * gsz
@@ -277,16 +277,16 @@ def estimate_routed_cost_ns(
 
 
 def plan_cost_ns(plan: RoutedPlan) -> float:
-    """Modeled execution cost of a plan (measured v5e constants): padded
-    boundary layers cost DMA only (per-tile predication skips their
-    compute), executed layers cost compute + DMA."""
+    """Modeled execution cost of a plan (measured v5e constants): every
+    tile pays its class's full layer caps (the unconditional kernel runs
+    all lmax layers; padded layers are exact zeros)."""
     t = 0.0
     for s in plan.streams:
         t += LAUNCH_NS + s.num_tiles * (
             TILE_BASE_NS
             + TILE_L1_NS * (s.l1 - 1)
-            + BND_DMA_NS * (s.lmax - 1)
-        ) + BND_COMP_NS * float(np.maximum(s.lt - 1, 0).sum())
+            + TILE_BND_NS * s.lmax
+        )
     t += RESIDUAL_NS * len(plan.residual_vals)
     return t
 
@@ -412,7 +412,7 @@ def _build_routed_plan(
     cost_t = (
         TILE_BASE_NS
         + TILE_L1_NS * np.maximum(win_t - 1, 0)
-        + TILE_BND_NS * np.maximum(band_t - 1, 0)
+        + TILE_BND_NS * np.maximum(band_t, 1)
     )
     demote = (cost_t > RESIDUAL_NS * nnz_t) | (band_t > l_cap)
 
@@ -594,7 +594,7 @@ def _build_routed_plan(
     # order classes by PADDING cost (with per-tile predication a merged
     # tile pays only stream DMA + pass-1 compute for the padded layers);
     # merge cheapest-adjacent until <= max_streams
-    cls_cost = (ucls // 64) * TILE_L1_NS + (ucls % 64) * BND_DMA_NS
+    cls_cost = (ucls // 64) * TILE_L1_NS + (ucls % 64) * TILE_BND_NS
     corder = np.argsort(cls_cost)
     groups = [[i] for i in corder]
     while len(groups) > 1:

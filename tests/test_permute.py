@@ -1,7 +1,7 @@
 """Fast-permutation plans (plan/permute.py) + kernel (ops/permute.py).
 
 The 3-stage decomposition must reproduce ``x[perm]`` exactly for any
-permutation; stage layer counts must respect the 8-sublane bound."""
+permutation; each stage is a 3-gather Clos routing in one i32 word."""
 
 import numpy as np
 import pytest
@@ -26,7 +26,9 @@ def test_permute_numpy_golden(n):
     perm = rng.permutation(n)
     plan = build_permute_plan(perm)
     for s in (plan.s1, plan.s2, plan.s3):
-        assert 1 <= s.l1 <= 8
+        # route words use exactly 13 bits: subA | laneB<<3 | subC<<10
+        assert s.route.dtype == np.int32
+        assert (s.route.view(np.uint32) < (1 << 13)).all()
     x = rng.standard_normal(n).astype(np.float32)
     assert np.array_equal(permute_numpy(plan, x), x[perm])
 

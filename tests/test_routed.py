@@ -101,12 +101,12 @@ def _routed_kernel_check(coo, interpret=True):
     x2d = jnp.asarray(xp).reshape(-1, 128)
     y = np.zeros(plan.num_ytiles * WINDOW, np.float64)
     for s in plan.streams:
-        packed, dims = pack_stream(s, tchunk=4)
-        arrs = tuple(jnp.asarray(a) for a in packed)
-        y2d = spmv_routed_stream_pallas(
-            arrs, dims, x2d, plan.num_ytiles, interpret=interpret,
-        )
-        y += np.asarray(y2d).reshape(-1).astype(np.float64)
+        for packed, dims in pack_stream(s, tchunk=4):
+            arrs = tuple(jnp.asarray(a) for a in packed)
+            y2d = spmv_routed_stream_pallas(
+                arrs, dims, x2d, plan.num_ytiles, interpret=interpret,
+            )
+            y += np.asarray(y2d).reshape(-1).astype(np.float64)
     y = y[: coo.shape[0]]
     # add residual on host for the comparison
     if len(plan.residual_vals):
