@@ -92,6 +92,11 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.greedy_cell_merge.restype = ctypes.c_longlong
+        lib.greedy_cell_merge.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_longlong, ctypes.c_void_p,
+        ]
         _lib = lib
         return _lib
 
@@ -122,6 +127,24 @@ def parse_mtx_body(
     if n != expect:
         return None
     return rows, cols, vals
+
+
+def greedy_cell_merge(
+    strip: np.ndarray, bc: np.ndarray, cap: int
+) -> Optional[np.ndarray]:
+    """Greedy same-strip cell merging (plan/routed.py group loop): returns
+    int64 group ids per cell, or None when the native library is
+    unavailable (callers fall back to the pure-Python loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    strip = np.ascontiguousarray(strip, np.int64)
+    bc = np.ascontiguousarray(bc, np.int64)
+    gid = np.empty(len(strip), np.int64)
+    lib.greedy_cell_merge(
+        _ptr(strip), _ptr(bc), len(strip), int(cap), _ptr(gid)
+    )
+    return gid
 
 
 def euler_color(

@@ -228,4 +228,27 @@ int euler_color(const int32_t* sw, const int32_t* dw, long long n, int d,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Greedy same-strip cell merging (plan/routed.py): consecutive cells of one
+// column strip share tile groups while their combined distinct-band count
+// stays within the boundary-layer cap.  A trivial sequential loop, but it
+// runs over up to ~10^6 cells in pure Python otherwise.
+// ---------------------------------------------------------------------------
+
+long long greedy_cell_merge(const int64_t* strip, const int64_t* bc,
+                            long long n, int64_t cap, int64_t* gid) {
+  long long g = -1;
+  int64_t cur_b = 0, cur_s = -1;
+  for (long long i = 0; i < n; ++i) {
+    if (strip[i] != cur_s || cur_b + bc[i] > cap) {
+      ++g;
+      cur_b = 0;
+      cur_s = strip[i];
+    }
+    gid[i] = g;
+    cur_b += bc[i];
+  }
+  return g + 1;
+}
+
 }  // extern "C"

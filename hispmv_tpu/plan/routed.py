@@ -163,6 +163,25 @@ class RoutedPlan:
         return (self.nnz - len(self.residual_vals)) / max(slots, 1)
 
 
+def _greedy_merge(strip_of: np.ndarray, bc: np.ndarray, cap: int):
+    """Greedy same-strip cell merge (native C++ when available): cells of
+    one strip share a group while the summed band count stays <= cap."""
+    from hispmv_tpu import native
+
+    gid = native.greedy_cell_merge(strip_of, bc, cap)
+    if gid is not None:
+        return gid
+    gid = np.empty(len(strip_of), np.int64)
+    g, cur_b, cur_s = -1, 0, -1
+    for i in range(len(strip_of)):
+        if strip_of[i] != cur_s or cur_b + bc[i] > cap:
+            g += 1
+            cur_b, cur_s = 0, strip_of[i]
+        gid[i] = g
+        cur_b += int(bc[i])
+    return gid
+
+
 def _distinct_sub_rank(group: np.ndarray, sub: np.ndarray) -> np.ndarray:
     """Per entry: how many DISTINCT sub values precede it in its group
     (0 when its (group, sub) pair has been seen — entries sharing a pair
@@ -234,15 +253,8 @@ def estimate_routed_cost_ns(
     wc = np.bincount(np.searchsorted(uc, uw // nwin), minlength=len(uc))
     strip_of = uc // nbb
     # same greedy same-strip merge as the planner
-    gid = np.empty(len(uc), np.int64)
-    g, cur_b, cur_s = -1, 0, -1
-    for i in range(len(uc)):
-        if strip_of[i] != cur_s or cur_b + bc[i] > l_cap:
-            g += 1
-            cur_b, cur_s = 0, strip_of[i]
-        gid[i] = g
-        cur_b += int(bc[i])
-    ng = g + 1
+    gid = _greedy_merge(strip_of, bc, l_cap)
+    ng = int(gid[-1]) + 1 if len(gid) else 0
     gsz = np.bincount(gid, weights=csz.astype(np.float64),
                       minlength=ng).astype(np.int64)
     gb = np.bincount(gid, weights=bc.astype(np.float64),
@@ -364,14 +376,7 @@ def _build_routed_plan(
         np.searchsorted(uc, ub // nyt), minlength=len(uc)
     )
     strip_of = uc // nbb
-    gid = np.empty(len(uc), np.int64)
-    g, cur_b, cur_s = -1, 0, -1
-    for i in range(len(uc)):
-        if strip_of[i] != cur_s or cur_b + bc[i] > l_cap:
-            g += 1
-            cur_b, cur_s = 0, strip_of[i]
-        gid[i] = g
-        cur_b += int(bc[i])
+    gid = _greedy_merge(strip_of, bc, l_cap)
     gsz = np.bincount(gid, weights=ssize.astype(np.float64)).astype(
         np.int64
     )
@@ -643,15 +648,18 @@ def _build_routed_plan(
         v = p_vals[slot_sel]
         nzm = v != 0.0
 
-        # Bitfield accumulation rides np.bincount with float64 weights:
-        # after per-(cell, layer) dedup every contribution occupies a
-        # disjoint bit range, so the sums are exact (< 2^32 < 2^53) and
-        # bincount is an order of magnitude faster than ufunc.at.
-        def _acc(cells, weights, size):
-            out = np.bincount(cells, weights=weights, minlength=size)
-            return out.astype(np.int64).astype(np.uint32).view(
-                np.int32
-            )
+        # Bitfield accumulation: contributions are split into CLASSES whose
+        # cells are unique (per-(cell, layer) dedup + one class per layer
+        # slot within a word), so each class is a plain vectorized
+        # OR-assign into the uint32 output — no float64 bincount
+        # intermediates (those materialized 2 extra full-size copies,
+        # ~400 MB each on heavy streams).
+        def _acc(classes, size):
+            out = np.zeros(size, np.uint32)
+            for cells, w in classes:
+                if len(cells):
+                    out[cells] |= w.astype(np.uint32)
+            return out.view(np.int32)
 
         vals_s = np.zeros((Ts, 8, 128), np.float32)
         vals_s[st, ss, sj] = v
@@ -675,9 +683,12 @@ def _build_routed_plan(
         first = np.ones(len(o), bool)
         first[1:] = pk[o][1:] != pk[o][:-1]
         fo = o[first]
+        lf, cf, wf = lay[nzm][fo], cell[fo], sub[nzm][fo]
         rsub_s = _acc(
-            cell[fo],
-            (sub[nzm][fo] << (3 * lay[nzm][fo])).astype(np.float64),
+            [
+                (cf[lf == l], wf[lf == l] << (3 * l))
+                for l in range(min(sl1, 8))
+            ],
             Ts * TILE,
         ).reshape(Ts, 8, 128)
         win_s = win_l[tiles, :sl1].astype(np.int32)
@@ -691,22 +702,25 @@ def _build_routed_plan(
         al, as_ = a_lane[esel], a_sub[esel]
         bll, bss = b_lane[esel], b_sub[esel]
         hb3 = np.nonzero(has_b[esel])[0]
-        # bl: boundary entries are unique per (tile, layer, sy, jy)
+        # bl: boundary entries are unique per (tile, layer, sy, jy); one
+        # class per (side, word parity)
         cp = ((et * npair + ea // 2) * 8 + ey) * 128 + ej
-        wa = ((al + 128) << (16 * (ea % 2))).astype(np.float64)
-        wb = np.zeros(0, np.float64)
-        cb = np.zeros(0, np.int64)
+        bl_classes = []
+        for par in (0, 1):
+            m = (ea % 2) == par
+            bl_classes.append((cp[m], (al[m] + 128) << (16 * par)))
         if len(hb3):
             cb = ((et[hb3] * npair + eb[hb3] // 2) * 8 + ey[hb3]) * 128 \
                 + ej[hb3]
-            wb = (
-                ((bll[hb3] + 128) << 8).astype(np.int64)
-                << (16 * (eb[hb3] % 2))
-            ).astype(np.float64)
-        bl_s = _acc(
-            np.concatenate([cp, cb]), np.concatenate([wa, wb]),
-            Ts * npair * TILE,
-        ).reshape(Ts, npair, 8, 128)
+            ebh = eb[hb3]
+            for par in (0, 1):
+                m = (ebh % 2) == par
+                bl_classes.append(
+                    (cb[m], ((bll[hb3][m] + 128) << 8) << (16 * par))
+                )
+        bl_s = _acc(bl_classes, Ts * npair * TILE).reshape(
+            Ts, npair, 8, 128
+        )
         # bs: dedup per (cell, layer, side) — same-layer entries sharing a
         # (sy, source lane) share the sub by the rank construction
         cqa = ((et * nquad + ea // 4) * 8 + ey) * 128 + al
@@ -715,8 +729,11 @@ def _build_routed_plan(
         fa = np.ones(len(oa), bool)
         fa[1:] = pka[oa][1:] != pka[oa][:-1]
         foa = oa[fa]
-        cells_q = [cqa[foa]]
-        w_q = [(as_[foa] << (8 * (ea[foa] % 4))).astype(np.float64)]
+        laf = ea[foa] % 4
+        bs_classes = [
+            (cqa[foa][laf == q], as_[foa][laf == q] << (8 * q))
+            for q in range(4)
+        ]
         if len(hb3):
             cqb = ((et[hb3] * nquad + eb[hb3] // 4) * 8 + ey[hb3]) * 128 \
                 + bll[hb3]
@@ -725,16 +742,17 @@ def _build_routed_plan(
             fb = np.ones(len(ob), bool)
             fb[1:] = pkb[ob][1:] != pkb[ob][:-1]
             fob = ob[fb]
-            cells_q.append(cqb[fob])
-            w_q.append(
-                ((bss[hb3][fob] << 4) << (8 * (eb[hb3][fob] % 4))).astype(
-                    np.float64
+            lbf = eb[hb3][fob] % 4
+            bs_classes += [
+                (
+                    cqb[fob][lbf == q],
+                    (bss[hb3][fob][lbf == q] << 4) << (8 * q),
                 )
-            )
-        bs_s = _acc(
-            np.concatenate(cells_q), np.concatenate(w_q),
-            Ts * nquad * TILE,
-        ).reshape(Ts, nquad, 8, 128)
+                for q in range(4)
+            ]
+        bs_s = _acc(bs_classes, Ts * nquad * TILE).reshape(
+            Ts, nquad, 8, 128
+        )
         byt_s = byt_l[tiles, :sL].astype(np.int32)
 
         streams.append(RoutedStream(
