@@ -115,7 +115,33 @@ def bench_matrix(name: str, scale: float) -> dict:
         cache_path="/tmp/hispmv_best_configs.json",
         measure=int(os.environ.get("HISPMV_BENCH_MEASURE", "0")),
     )
-    handle = SpmvHandle(coo, config=res.config, format=res.format)
+    # Plan cache: preprocessing large matrices costs seconds-to-minutes;
+    # repeated bench runs (incl. the driver's) reload the serialized plan
+    # (plan/serialize.py) instead of re-planning.  Best-effort.
+    from hispmv_tpu.plan.serialize import load_plan, save_plan
+
+    rs_tag = "-rs" if getattr(res.config, "rank_sort", False) else ""
+    cfg_tag0 = (
+        f"v3-{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
+        f"{rs_tag}"
+    )
+    os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
+    plan_cache = f"/tmp/hispmv_plan_cache/{name}-{scale}-{cfg_tag0}.npz"
+    handle = None
+    if os.path.exists(plan_cache):
+        try:
+            handle = SpmvHandle.from_plan(load_plan(plan_cache))
+            log(f"[{name}] plan cache hit ({plan_cache})")
+        except Exception as e:
+            log(f"[{name}] plan cache unusable ({e!r}); re-planning")
+            handle = None
+    if handle is None:
+        handle = SpmvHandle(coo, config=res.config, format=res.format)
+        if handle.plan is not None:
+            try:
+                save_plan(plan_cache, handle.plan, compress=False)
+            except Exception as e:
+                log(f"[{name}] plan cache save failed ({e!r})")
     log(
         f"[{name}] scale={scale} nnz={coo.nnz} format={handle.format} "
         f"fill={handle.stats.fill:.3f} prep={time.time()-t0:.1f}s"
@@ -129,8 +155,7 @@ def bench_matrix(name: str, scale: float) -> dict:
     os.makedirs("/tmp/hispmv_exec_cache", exist_ok=True)
     # v3: cache schema version (bump on any kernel code change — the
     # serialized executable would otherwise resurrect the old kernel)
-    cfg_tag = f"v3-{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
-    exec_cache = f"/tmp/hispmv_exec_cache/{name}-{scale}-{cfg_tag}.pkl"
+    exec_cache = f"/tmp/hispmv_exec_cache/{name}-{scale}-{cfg_tag0}.pkl"
     # Plan arrays ride as explicit jit args (closure capture would ship
     # them as constants to the remote compile service).
     fn, args = handle.explicit_runner()

@@ -667,6 +667,21 @@ class SpmvHandle:
     # -- execution --------------------------------------------------------
 
     @property
+    def plan(self):
+        """The prepared plan object for this handle's format — serializable
+        via plan/serialize.py and reloadable with :meth:`from_plan` (the
+        prepare-once persistence analog of fpga_handle.cpp:189-206).
+        ``None`` for the dense overlay (no preprocessing to persist)."""
+        for attr in (
+            "_split_plan_meta", "_routed_plan_meta", "_window_plan_meta",
+            "_stream_plan_meta", "_ellx_plan_meta", "_block_plan_meta",
+        ):
+            p = getattr(self, attr, None)
+            if p is not None:
+                return p
+        return None
+
+    @property
     def padded_cols(self) -> int:
         if self.format == "dense":
             return int(self._dense.shape[1])

@@ -103,14 +103,19 @@ def _unflatten(prefix, z, meta):
 def save_plan(
     path: str,
     plan: Union[BlockPlan, WindowPlan, StreamPlan, EllxPlan, SplitPlan],
+    *,
+    compress: bool = True,
 ):
-    """Serialize a plan (possibly with nested sub-plans) to .npz."""
+    """Serialize a plan (possibly with nested sub-plans) to .npz.
+
+    ``compress=False`` trades disk for speed — zlib over multi-hundred-MB
+    routed streams costs tens of seconds, which defeats a prep cache."""
     fields, meta = {}, {}
     _flatten(plan, "", fields, meta)
     fields["__meta__"] = np.frombuffer(
         json.dumps(meta, default=list).encode(), dtype=np.uint8
     )
-    np.savez_compressed(path, **fields)
+    (np.savez_compressed if compress else np.savez)(path, **fields)
 
 
 def load_plan(path: str):
