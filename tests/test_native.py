@@ -100,3 +100,28 @@ def test_mtx_roundtrip_uses_native(tmp_path):
     np.testing.assert_allclose(
         loaded.to_dense(), coo.to_dense(), rtol=1e-6, atol=1e-7
     )
+
+
+def test_greedy_cell_merge_matches_python():
+    from hispmv_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(9)
+    n = 50_000
+    strip = np.sort(rng.integers(0, 200, n)).astype(np.int64)
+    bc = rng.integers(1, 6, n).astype(np.int64)
+    cap = 32
+    gid = native.greedy_cell_merge(strip, bc, cap)
+    # reference loop (the pure-Python fallback in plan/routed.py)
+    ref = np.empty(n, np.int64)
+    g, cur_b, cur_s = -1, 0, -1
+    for i in range(n):
+        if strip[i] != cur_s or cur_b + bc[i] > cap:
+            g += 1
+            cur_b, cur_s = 0, strip[i]
+        ref[i] = g
+        cur_b += int(bc[i])
+    assert np.array_equal(gid, ref)
