@@ -99,7 +99,8 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
     the split format's routed body.  Each cost-class stream runs its own
     kernel (light tiles are not charged heavy tiles' layers); their y
     tiles are summed."""
-    from hispmv_tpu.ops.spmv_routed import spmv_routed_stream_pallas
+    from hispmv_tpu.ops.spmv_routed import (
+        spmv_routed_stream_pallas, word_counts)
 
     nwinp, nytp = meta["nwinp"], meta["nytp"]
     if meta.get("xperm") is not None:
@@ -116,10 +117,12 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
     y2d = None
     for i, seg_metas in enumerate(meta["streams"]):
         for gi, sm in enumerate(seg_metas):
+            nlw, nsw = word_counts(sm["dims"][2])
             names = (
-                ("vals", "route", "route2", "rsub", "bl", "bs")
-                if sm["has_route2"]
-                else ("vals", "route", "rsub", "bl", "bs")
+                ("vals",)
+                + ("route", "route2", "route3", "route4")[:nlw]
+                + ("rsub", "rsub2")[:nsw]
+                + ("bl", "bs")
             )
             p = prefix + f"s{i}g{gi}_"
             packed = tuple(d[p + n] for n in names) + (
@@ -519,20 +522,23 @@ class SpmvHandle:
         """Pack a RoutedPlan (+ residual executor) into device dict ``d``
         under ``prefix``; returns the static meta the runner needs."""
         from hispmv_tpu.formats.matrix import COOMatrix as _COO
-        from hispmv_tpu.ops.spmv_routed import _bucket, pack_stream
+        from hispmv_tpu.ops.spmv_routed import (
+            _bucket, pack_stream, word_counts)
 
         streams_meta = []
         for i, s in enumerate(plan.streams):
             seg_metas = []
             for gi, (packed, dims) in enumerate(pack_stream(s)):
-                has_route2 = len(packed) == 9
+                nlw, nsw = word_counts(dims[2])
                 names = (
-                    ("vals", "route", "route2", "rsub", "bl", "bs")
-                    if has_route2 else ("vals", "route", "rsub", "bl", "bs")
-                ) + ("win", "byt", "lt")
+                    ("vals",)
+                    + ("route", "route2", "route3", "route4")[:nlw]
+                    + ("rsub", "rsub2")[:nsw]
+                    + ("bl", "bs", "win", "byt", "lt")
+                )
                 for n, a in zip(names, packed):
                     d[prefix + f"s{i}g{gi}_" + n] = jnp.asarray(a)
-                seg_metas.append({"dims": dims, "has_route2": has_route2})
+                seg_metas.append({"dims": dims})
             streams_meta.append(seg_metas)
         meta = {
             "streams": streams_meta,

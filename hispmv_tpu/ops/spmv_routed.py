@@ -78,6 +78,12 @@ def _chunk_terms(nch: int, max_terms: int = 4) -> list:
     return terms
 
 
+def word_counts(l1p: int) -> tuple:
+    """(lane words, sub words) the packed stream carries for ``l1p``
+    pass-1 layers: 4 layers per lane word, 8 per sub word."""
+    return -(-l1p // 4), -(-l1p // 8)
+
+
 def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     """Pad one compressed stream to whole chunks and split it into
     pow-2-grid SEGMENTS (``_chunk_terms``): every segment's kernel grid is
@@ -86,10 +92,11 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     kernel executes padded tiles at full cost, so rounding the whole
     stream up to a pow-2 grid would waste up to 2x).
 
-    Returns a list of ((vals, route, [route2,] rsub, bl, bs, win, byt,
-    lt), dims) segments with dims (nch, tchunk, l1p, lp).  Layer dims are
-    bucketed to powers of two (``bucket=False`` disables all bucketing
-    and returns one exact-size segment)."""
+    Returns a list of ((vals, *route_words, *rsub_words, bl, bs, win,
+    byt, lt), dims) segments with dims (nch, tchunk, l1p, lp); the word
+    counts follow from l1p (``word_counts``).  Layer dims are bucketed to
+    powers of two (``bucket=False`` disables all bucketing and returns
+    one exact-size segment)."""
     tchunk = tchunk or chunk_for_stream(s)
     T = s.num_tiles
     nch = max(-(-T // tchunk), 1)
@@ -103,15 +110,19 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
 
     vals = np.zeros((Tp, 8, LANES), np.float32)
     vals[:T] = s.vals
-    route = np.zeros((Tp, 8, LANES), np.int32)
-    route[:T] = s.route
-    route2 = None
-    if l1p > 4:
-        route2 = np.zeros((Tp, 8, LANES), np.int32)
-        if s.route2 is not None:
-            route2[:T] = s.route2
-    rsub = np.zeros((Tp, 8, LANES), np.int32)
-    rsub[:T] = s.rsub
+    nlw, nsw = word_counts(l1p)
+    route_ws = []
+    for wi, src in zip(range(nlw), list(s.route_words) + [None] * 4):
+        a = np.zeros((Tp, 8, LANES), np.int32)
+        if src is not None:
+            a[:T] = src
+        route_ws.append(a)
+    rsub_ws = []
+    for wi, src in zip(range(nsw), list(s.rsub_words) + [None] * 2):
+        a = np.zeros((Tp, 8, LANES), np.int32)
+        if src is not None:
+            a[:T] = src
+        rsub_ws.append(a)
     bl = np.zeros((Tp, npair, 8, LANES), np.int32)
     bl[:T, : s.bl.shape[1]] = s.bl
     bs = np.zeros((Tp, nquad, 8, LANES), np.int32)
@@ -123,14 +134,10 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     lt = np.zeros(Tp, np.int32)  # padding tiles: 0 layers -> all skipped
     lt[:T] = s.lt
 
-    full = [
-        vals.reshape(nch, tchunk * 8, LANES),
-        route.reshape(nch, tchunk * 8, LANES),
-    ]
-    if route2 is not None:
-        full.append(route2.reshape(nch, tchunk * 8, LANES))
+    full = [vals.reshape(nch, tchunk * 8, LANES)]
+    full += [a.reshape(nch, tchunk * 8, LANES) for a in route_ws]
+    full += [a.reshape(nch, tchunk * 8, LANES) for a in rsub_ws]
     full += [
-        rsub.reshape(nch, tchunk * 8, LANES),
         bl.reshape(nch, tchunk * npair * 8, LANES),
         bs.reshape(nch, tchunk * nquad * 8, LANES),
         # scalar-prefetch tables FLATTENED to 1-D: SMEM pads 2-D operands
@@ -168,15 +175,12 @@ def _routed_kernel(
     tchunk: int,
     l1: int,
     lmax: int,
-    has_route2: bool,
 ):
-    if has_route2:
-        (vals_ref, route_ref, route2_ref, rsub_ref, bl_ref, bs_ref,
-         x_ref, y_ref) = refs
-    else:
-        (vals_ref, route_ref, rsub_ref, bl_ref, bs_ref,
-         x_ref, y_ref) = refs
-        route2_ref = None
+    nlw, nsw = word_counts(l1)
+    vals_ref = refs[0]
+    route_refs = refs[1 : 1 + nlw]
+    rsub_refs = refs[1 + nlw : 1 + nlw + nsw]
+    bl_ref, bs_ref, x_ref, y_ref = refs[1 + nlw + nsw :]
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -197,20 +201,16 @@ def _routed_kernel(
 
     # ---- phase A: all products of the chunk (static unroll) -------------
     def products(j):
-        route = route_ref[0, j * 8 : (j + 1) * 8, :]
-        rsub = rsub_ref[0, j * 8 : (j + 1) * 8, :]
+        rws = [r[0, j * 8 : (j + 1) * 8, :] for r in route_refs]
+        sws = [r[0, j * 8 : (j + 1) * 8, :] for r in rsub_refs]
         vals = vals_ref[0, j * 8 : (j + 1) * 8, :]
-        rank = _srl(route, 28) & 7
+        rank = _srl(rws[0], 28) & 15
         xg = jnp.zeros((8, LANES), jnp.float32)
         for l in range(l1):
             w = win_ref[(i * tchunk + j) * l1 + l]
             win8 = x_ref[pl.ds(w * 8, 8), :]
-            if l < 4:
-                lane = _srl(route, 7 * l) & 127
-            else:
-                r2 = route2_ref[0, j * 8 : (j + 1) * 8, :]
-                lane = _srl(r2, 7 * (l - 4)) & 127
-            sub = _srl(rsub, 3 * l) & 7
+            lane = _srl(rws[l // 4], 7 * (l % 4)) & 127
+            sub = _srl(sws[l // 8], 3 * (l % 8)) & 7
             t1 = jnp.take_along_axis(win8, sub, axis=0)
             g = jnp.take_along_axis(t1, lane, axis=1)
             xg = jnp.where(rank == l, g, xg)
@@ -272,13 +272,10 @@ def spmv_routed_stream_pallas(
 ) -> jax.Array:
     """Run one routed stream; returns y f32 [nyt*8, 128]."""
     nch, tchunk, l1, lmax = dims
-    has_route2 = len(packed) == 9
-    if has_route2:
-        vals, route, route2, rsub, bl, bs, win, byt, lt = packed
-        data = (vals, route, route2, rsub, bl, bs)
-    else:
-        vals, route, rsub, bl, bs, win, byt, lt = packed
-        data = (vals, route, rsub, bl, bs)
+    nlw, nsw = word_counts(l1)
+    data = tuple(packed[: 1 + nlw + nsw + 2])
+    win, byt, lt = packed[1 + nlw + nsw + 2 :]
+    bl, bs = data[-2], data[-1]
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
 
@@ -290,7 +287,7 @@ def spmv_routed_stream_pallas(
         )
 
     r1 = tchunk * 8
-    in_specs = [spec(r1)] * (4 if has_route2 else 3) + [
+    in_specs = [spec(r1)] * (1 + nlw + nsw) + [
         spec(tchunk * npair * 8), spec(tchunk * nquad * 8),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
     ]
@@ -306,7 +303,6 @@ def spmv_routed_stream_pallas(
     )
     kernel = functools.partial(
         _routed_kernel, tchunk=tchunk, l1=l1, lmax=lmax,
-        has_route2=has_route2,
     )
     nbytes = sum(int(a.size) * a.dtype.itemsize for a in data)
     return pl.pallas_call(
@@ -317,7 +313,7 @@ def spmv_routed_stream_pallas(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * vals.size,
+            flops=4 * data[0].size,
             bytes_accessed=nbytes + x2d.size * 4,
             transcendentals=0,
         ),

@@ -82,7 +82,7 @@ TILE_L1_NS = 4.0
 TILE_BND_NS = 9.4
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
 
-L1_CAP = 8  # pass-1 layers (window chains + conflict ranks)
+L1_CAP = 16  # pass-1 layers (window chains + conflict ranks)
 L_CAP = 32  # boundary layers (band chains + conflict ranks)
 LAUNCH_NS = 3000.0  # per-stream kernel dispatch cost
 
@@ -95,9 +95,9 @@ class RoutedStream:
     l1: int  # pass-1 layers this stream's kernel unrolls
     lmax: int  # boundary layers this stream's kernel unrolls
     vals: np.ndarray  # f32 [T, 8, 128]
-    route: np.ndarray  # i32 [T, 8, 128]
-    route2: Optional[np.ndarray]  # i32 [T, 8, 128] when l1 > 4
-    rsub: np.ndarray  # i32 [T, 8, 128]
+    route: np.ndarray  # i32 [T, 8, 128]: lanes for layers 0-3 + rank<<28
+    route2: Optional[np.ndarray]  # i32 [T, 8, 128]: lanes 4-7 (l1 > 4)
+    rsub: np.ndarray  # i32 [T, 8, 128]: subs for layers 0-7
     win: np.ndarray  # i32 [T, l1]
     bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]
     bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]
@@ -105,15 +105,28 @@ class RoutedStream:
     lt: np.ndarray  # i32 [T]: ACTUAL boundary layers per tile (kept for
     # diagnostics/cost analysis; the kernel runs every class-cap layer —
     # padded layers carry zero valid bits and add exact zeros)
+    route3: Optional[np.ndarray] = None  # i32: lanes for layers 8-11
+    route4: Optional[np.ndarray] = None  # i32: lanes for layers 12-15
+    rsub2: Optional[np.ndarray] = None  # i32: subs for layers 8-15
+
+    @property
+    def route_words(self) -> tuple:
+        """Lane-bitfield words in layer order (1 per 4 pass-1 layers)."""
+        return tuple(
+            w for w in (self.route, self.route2, self.route3, self.route4)
+            if w is not None
+        )
+
+    @property
+    def rsub_words(self) -> tuple:
+        """Sub-bitfield words in layer order (1 per 8 pass-1 layers)."""
+        return tuple(w for w in (self.rsub, self.rsub2) if w is not None)
 
     @property
     def stream_bytes(self) -> int:
-        n = (
-            self.vals.nbytes + self.route.nbytes + self.rsub.nbytes
-            + self.bl.nbytes + self.bs.nbytes
-        )
-        if self.route2 is not None:
-            n += self.route2.nbytes
+        n = self.vals.nbytes + self.bl.nbytes + self.bs.nbytes
+        for w in self.route_words + self.rsub_words:
+            n += w.nbytes
         return n
 
 
@@ -663,34 +676,47 @@ def _build_routed_plan(
 
         vals_s = np.zeros((Ts, 8, 128), np.float32)
         vals_s[st, ss, sj] = v
-        route_s = np.zeros((Ts, 8, 128), np.int32)
-        route_s[st[nzm], ss[nzm], sj[nzm]] = (
-            np.where(lay[nzm] < 4, lane[nzm] << (7 * (lay[nzm] % 4)), 0)
-            | (lay[nzm] << 28)
-        ).astype(np.int32)
-        route2_s = None
-        if sl1 > 4:
-            route2_s = np.zeros((Ts, 8, 128), np.int32)
-            hi = nzm & (lay >= 4)
-            route2_s[st[hi], ss[hi], sj[hi]] = (
-                lane[hi] << (7 * (lay[hi] - 4))
-            ).astype(np.int32)
+        # lane words: 4 layers per i32 (7 bits each); word 0 also carries
+        # the slot's rank in bits 28-31 (uint domain — bit 31 used at
+        # rank >= 8; the kernel reads it with shift_right_logical)
+        route_ws = []
+        for wi in range(-(-sl1 // 4)):
+            arr = np.zeros((Ts, 8, 128), np.uint32)
+            m = nzm & (lay // 4 == wi)
+            arr[st[m], ss[m], sj[m]] = (
+                lane[m] << (7 * (lay[m] % 4))
+            ).astype(np.uint32)
+            route_ws.append(arr)
+        route_ws[0][st[nzm], ss[nzm], sj[nzm]] |= (
+            lay[nzm].astype(np.uint32) << 28
+        )
+        route_ws = [a.view(np.int32) for a in route_ws]
+        route_s = route_ws[0]
+        route2_s = route_ws[1] if sl1 > 4 else None
+        route3_s = route_ws[2] if sl1 > 8 else None
+        route4_s = route_ws[3] if sl1 > 12 else None
         # rsub: per (tile, payload row, SOURCE lane, layer) — dedup pairs
-        # sharing (cell, layer) (they share sub by construction), then sum
+        # sharing (cell, layer) (they share sub by construction), then sum;
+        # 8 layers per i32 word (3 bits each)
         cell = (st[nzm] * 8 + ss[nzm]) * 128 + lane[nzm]
-        pk = cell * 8 + lay[nzm]
+        pk = cell * np.int64(L1_CAP) + lay[nzm]
         o = np.argsort(pk, kind="stable")
         first = np.ones(len(o), bool)
         first[1:] = pk[o][1:] != pk[o][:-1]
         fo = o[first]
         lf, cf, wf = lay[nzm][fo], cell[fo], sub[nzm][fo]
-        rsub_s = _acc(
-            [
-                (cf[lf == l], wf[lf == l] << (3 * l))
-                for l in range(min(sl1, 8))
-            ],
-            Ts * TILE,
-        ).reshape(Ts, 8, 128)
+        rsub_ws = [
+            _acc(
+                [
+                    (cf[lf == l], wf[lf == l] << (3 * (l % 8)))
+                    for l in range(wi * 8, min(sl1, (wi + 1) * 8))
+                ],
+                Ts * TILE,
+            ).reshape(Ts, 8, 128)
+            for wi in range(-(-sl1 // 8))
+        ]
+        rsub_s = rsub_ws[0]
+        rsub2_s = rsub_ws[1] if sl1 > 8 else None
         win_s = win_l[tiles, :sl1].astype(np.int32)
 
         npair = -(-sL // 2)
@@ -760,6 +786,7 @@ def _build_routed_plan(
             vals=vals_s, route=route_s, route2=route2_s, rsub=rsub_s,
             win=win_s, bl=bl_s, bs=bs_s, byt=byt_s,
             lt=L_t[tiles].astype(np.int32),
+            route3=route3_s, route4=route4_s, rsub2=rsub2_s,
         ))
 
     # costliest class last (cheap/large classes stream first)
@@ -841,18 +868,21 @@ def _stream_matvec_numpy(
     dataflow (float64 accumulate), accumulating into ``y``."""
     lanes = np.arange(128)
     route_u = s.route.view(np.uint32)
+    route_words = s.route_words
+    rsub_words = s.rsub_words
     for t in range(s.num_tiles):
-        rank = (route_u[t] >> 28) & 7
+        rank = (route_u[t] >> 28) & 15
         # pass 1
         p = np.zeros((8, 128), np.float64)
         for l in range(s.l1):
             w = int(s.win[t, l])
             win8 = x2d[w * 8 : w * 8 + 8]
-            if l < 4:
-                lane = (route_u[t] >> (7 * l)) & 127
-            else:
-                lane = (s.route2[t].view(np.uint32) >> (7 * (l - 4))) & 127
-            sub = (s.rsub[t].view(np.uint32) >> (3 * l)) & 7
+            lane = (
+                route_words[l // 4][t].view(np.uint32) >> (7 * (l % 4))
+            ) & 127
+            sub = (
+                rsub_words[l // 8][t].view(np.uint32) >> (3 * (l % 8))
+            ) & 7
             t1 = win8[sub, lanes[None, :]]
             xg = np.take_along_axis(t1, lane.astype(np.int64), axis=1)
             p += np.where(
