@@ -122,7 +122,7 @@ def bench_matrix(name: str, scale: float) -> dict:
 
     rs_tag = "-rs" if getattr(res.config, "rank_sort", False) else ""
     cfg_tag0 = (
-        f"v3-{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
+        f"v4-{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
         f"{rs_tag}"
     )
     os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
@@ -153,7 +153,7 @@ def bench_matrix(name: str, scale: float) -> dict:
     # captured y) and the loop-slope timing; the executable is serialized to
     # disk so later runs (and the driver's) skip the backend compile.
     os.makedirs("/tmp/hispmv_exec_cache", exist_ok=True)
-    # v3: cache schema version (bump on any kernel code change — the
+    # v4: cache schema version (bump on any kernel code change — the
     # serialized executable would otherwise resurrect the old kernel)
     exec_cache = f"/tmp/hispmv_exec_cache/{name}-{scale}-{cfg_tag0}.pkl"
     # Plan arrays ride as explicit jit args (closure capture would ship

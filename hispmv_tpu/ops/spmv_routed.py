@@ -84,6 +84,23 @@ def word_counts(l1p: int) -> tuple:
     return -(-l1p // 4), -(-l1p // 8)
 
 
+def _segment_terms(nch: int, chunk_cost_ns: float) -> list:
+    """Pick the pow-2 segmentation by modeled cost: the binary split
+    minimizes padding but pays ~LAUNCH_NS per extra kernel, which
+    dominates for small streams (the 20-60 us suite members); a single
+    rounded-up pow-2 grid pays padded chunks instead.  Whichever is
+    cheaper wins; both keep every grid a power of two for executable
+    reuse."""
+    from hispmv_tpu.plan.routed import LAUNCH_NS
+
+    split = _chunk_terms(nch)
+    single = [_bucket(max(nch, 1))]
+    cost_split = LAUNCH_NS * len(split) \
+        + chunk_cost_ns * (sum(split) - nch)
+    cost_single = LAUNCH_NS + chunk_cost_ns * (single[0] - nch)
+    return single if cost_single <= cost_split else split
+
+
 def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     """Pad one compressed stream to whole chunks and split it into
     pow-2-grid SEGMENTS (``_chunk_terms``): every segment's kernel grid is
@@ -102,7 +119,16 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     nch = max(-(-T // tchunk), 1)
     l1p = s.l1 if not bucket else _bucket(s.l1)
     lp = s.lmax if not bucket else _bucket(s.lmax)
-    terms = _chunk_terms(nch) if bucket else [nch]
+    if bucket:
+        from hispmv_tpu.plan.routed import (
+            TILE_BASE_NS, TILE_BND_NS, TILE_L1_NS)
+
+        chunk_cost = tchunk * (
+            TILE_BASE_NS + TILE_L1_NS * (l1p - 1) + TILE_BND_NS * lp
+        )
+        terms = _segment_terms(nch, chunk_cost)
+    else:
+        terms = [nch]
     nch = sum(terms)
     Tp = nch * tchunk
     npair = -(-lp // 2)

@@ -336,10 +336,63 @@ def build_routed_plan(
         if res_cost > 0.10 * plan_cost_ns(plan):
             alt = _build_routed_plan(coo, 2, l1_cap, l_cap, max_streams)
             if plan_cost_ns(alt) < plan_cost_ns(plan):
-                return alt
-        return plan
-    return _build_routed_plan(
+                plan = alt
+        return _repack_residual(plan, 4, l1_cap, l_cap)
+    plan = _build_routed_plan(
         coo, strip_windows, l1_cap, l_cap, max_streams
+    )
+    return _repack_residual(plan, strip_windows, l1_cap, l_cap)
+
+
+def _repack_residual(
+    plan: RoutedPlan, strip_windows: int, l1_cap: int, l_cap: int
+) -> RoutedPlan:
+    """Re-plan the evicted/demoted entries into their own tiles (one
+    recursion level).  Entries evicted for exceeding a layer cap inside a
+    FULL tile get fresh budgets in fresh tiles, so most of the residual
+    packs back at vector rate and the 16 ns/elem element-scatter op (an
+    extra serialized XLA op per matvec) disappears or shrinks.  The
+    demotion rule inside the build keeps genuinely scattered leftovers in
+    the residual, so this never loses to the scatter.  Iterates while
+    stream slots remain and each pass still pays off."""
+    while True:
+        nxt = _repack_residual_once(plan, strip_windows, l1_cap, l_cap)
+        if nxt is plan:
+            return plan
+        plan = nxt
+
+
+def _repack_residual_once(
+    plan: RoutedPlan, strip_windows: int, l1_cap: int, l_cap: int
+) -> RoutedPlan:
+    nres = len(plan.residual_vals)
+    free = 3 - len(plan.streams)
+    if nres < 64 or free <= 0:
+        return plan
+    rcoo = COOMatrix(
+        plan.shape,
+        plan.residual_rows,
+        plan.residual_cols,
+        plan.residual_vals,
+    )
+    rplan = _build_routed_plan(
+        rcoo, strip_windows, l1_cap, l_cap, max_streams=free
+    )
+    if not rplan.streams:
+        return plan
+    gain = RESIDUAL_NS * (nres - len(rplan.residual_vals))
+    cost = plan_cost_ns(rplan) - RESIDUAL_NS * len(rplan.residual_vals)
+    if cost >= gain:
+        return plan
+    slots = plan.streams + rplan.streams
+    return dataclasses.replace(
+        plan,
+        s0=slots[0] if len(slots) > 0 else None,
+        s1=slots[1] if len(slots) > 1 else None,
+        s2=slots[2] if len(slots) > 2 else None,
+        residual_rows=rplan.residual_rows,
+        residual_cols=rplan.residual_cols,
+        residual_vals=rplan.residual_vals,
     )
 
 

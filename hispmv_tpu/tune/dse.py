@@ -72,6 +72,13 @@ class TuneResult:
         )
 
 
+# Kernel/planner generation: bump when a format's execution capability
+# changes (new kernel codegen, layer caps, ...) so cached MEASURED winners
+# from the previous generation are re-evaluated.  The cost-model constants
+# are hashed separately (profile hash in tune()).
+KERNEL_GEN = 2  # gen 2: routed streams up to 16 pass-1 layers
+
+
 def matrix_fingerprint(coo: COOMatrix) -> str:
     """Cheap content hash: shape, nnz, and a strided coordinate sample."""
     h = hashlib.sha256()
@@ -456,10 +463,18 @@ def measure_candidates(
     # hangGlider-class), so every close family deserves one measurement.
     shortlist = list(result.candidates[: max(top, 1)])
     if shortlist:
+        # routed vs routed-rank count as distinct families: they share a
+        # kernel but run in different index spaces, and which one wins is
+        # exactly the kind of call the model gets wrong on power-law
+        # matrices (rank-space concentrates nnz but pays two permutes).
+        def _fam(lbl):
+            return "routed-rank" if lbl == "routed-rank" \
+                else _label_format(lbl)
+
         best_est = shortlist[0][1]
-        fams = {_label_format(lbl) for lbl, _ in shortlist}
+        fams = {_fam(lbl) for lbl, _ in shortlist}
         for label, est in result.candidates[max(top, 1):]:
-            fam = _label_format(label)
+            fam = _fam(label)
             if fam not in fams and est <= 4.0 * best_est:
                 fams.add(fam)
                 shortlist.append((label, est))
@@ -539,7 +554,9 @@ def tune(
         pfp = _h.sha256(
             repr(dataclasses.astuple(profile)).encode()
         ).hexdigest()[:8]
-        key = f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}"
+        key = (
+            f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}:g{KERNEL_GEN}"
+        )
         if os.path.exists(cache_path):
             with open(cache_path) as f:
                 cache = json.load(f)

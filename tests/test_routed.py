@@ -265,3 +265,37 @@ def test_dse_offers_routed_rank():
     res = DSE().explore(coo)
     labels = [l for l, _ in res.candidates]
     assert "routed-rank" in labels
+
+
+def test_residual_repack_reduces_scatter():
+    """Evicted entries are re-planned into fresh tiles (fresh layer
+    budgets): with a tight l1 cap most of the eviction residual must pack
+    back into streams, the modeled cost must drop, and the golden
+    executor must stay exact."""
+    from hispmv_tpu.plan import routed as RT
+
+    coo = powerlaw_coo(4000, 4000, 120_000, seed=5, alpha=1.3)
+    pre = RT._build_routed_plan(coo, 4, 8, RT.L_CAP, 3)
+    post = RT._repack_residual(pre, 4, 8, RT.L_CAP)
+    assert len(pre.residual_vals) > 10_000  # the cap really evicted
+    assert len(post.residual_vals) < 0.2 * len(pre.residual_vals)
+    assert RT.plan_cost_ns(post) < 0.5 * RT.plan_cost_ns(pre)
+    x = np.linspace(-1, 1, 4000).astype(np.float32)
+    got = routed_matvec_numpy(post, x)[:4000]
+    g = golden(coo, x)
+    assert (np.abs(got - g) <= 1e-4 + 1e-3 * np.abs(g)).all()
+
+
+def test_segment_terms_single_launch_for_small_streams():
+    """Small streams take ONE rounded-up pow-2 segment (launch cost
+    dominates); large streams keep the low-padding binary split."""
+    from hispmv_tpu.ops.spmv_routed import _segment_terms
+
+    # nch=3, cheap chunks: single [4] costs one launch + one padded
+    # chunk; the [2,1] split costs two launches
+    assert _segment_terms(3, 1000.0) == [4]
+    # nch=6 with expensive chunks: split [4,2] (2 launches) beats [8]
+    # (1 launch + 2 padded chunks at 3 us each)
+    assert _segment_terms(6, 3000.0) == [4, 2]
+    # pow-2 counts stay single-segment either way
+    assert _segment_terms(8, 3000.0) == [8]
