@@ -100,7 +100,7 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
     kernel (light tiles are not charged heavy tiles' layers); their y
     tiles are summed."""
     from hispmv_tpu.ops.spmv_routed import (
-        spmv_routed_stream_pallas, word_counts)
+        spmv_routed_stream_pallas, stream_array_names)
 
     nwinp, nytp = meta["nwinp"], meta["nytp"]
     if meta.get("xperm") is not None:
@@ -117,13 +117,7 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
     y2d = None
     for i, seg_metas in enumerate(meta["streams"]):
         for gi, sm in enumerate(seg_metas):
-            nlw, nsw = word_counts(sm["dims"][2])
-            names = (
-                ("vals",)
-                + ("route", "route2", "route3", "route4")[:nlw]
-                + ("rsub", "rsub2")[:nsw]
-                + ("bl", "bs")
-            )
+            names = stream_array_names(sm["dims"][2])
             p = prefix + f"s{i}g{gi}_"
             packed = tuple(d[p + n] for n in names) + (
                 d[p + "win"], d[p + "byt"], d[p + "lt"])
@@ -523,19 +517,13 @@ class SpmvHandle:
         under ``prefix``; returns the static meta the runner needs."""
         from hispmv_tpu.formats.matrix import COOMatrix as _COO
         from hispmv_tpu.ops.spmv_routed import (
-            _bucket, pack_stream, word_counts)
+            _bucket, pack_stream, stream_array_names)
 
         streams_meta = []
         for i, s in enumerate(plan.streams):
             seg_metas = []
             for gi, (packed, dims) in enumerate(pack_stream(s)):
-                nlw, nsw = word_counts(dims[2])
-                names = (
-                    ("vals",)
-                    + ("route", "route2", "route3", "route4")[:nlw]
-                    + ("rsub", "rsub2")[:nsw]
-                    + ("bl", "bs", "win", "byt", "lt")
-                )
+                names = stream_array_names(dims[2]) + ("win", "byt", "lt")
                 for n, a in zip(names, packed):
                     d[prefix + f"s{i}g{gi}_" + n] = jnp.asarray(a)
                 seg_metas.append({"dims": dims})

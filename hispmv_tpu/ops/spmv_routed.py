@@ -84,6 +84,18 @@ def word_counts(l1p: int) -> tuple:
     return -(-l1p // 4), -(-l1p // 8)
 
 
+def stream_array_names(l1p: int) -> tuple:
+    """Device-dict key names for one packed stream segment's data arrays,
+    in ``pack_stream`` order (without the win/byt/lt prefetch tables)."""
+    nlw, nsw = word_counts(l1p)
+    return (
+        ("vals",)
+        + tuple(f"route{i + 1}" if i else "route" for i in range(nlw))
+        + tuple(f"rsub{i + 1}" if i else "rsub" for i in range(nsw))
+        + ("bl", "bs")
+    )
+
+
 def _segment_terms(nch: int, chunk_cost_ns: float) -> list:
     """Pick the pow-2 segmentation by modeled cost: the binary split
     minimizes padding but pays ~LAUNCH_NS per extra kernel, which
@@ -138,13 +150,13 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     vals[:T] = s.vals
     nlw, nsw = word_counts(l1p)
     route_ws = []
-    for wi, src in zip(range(nlw), list(s.route_words) + [None] * 4):
+    for wi, src in zip(range(nlw), list(s.route_words) + [None] * 8):
         a = np.zeros((Tp, 8, LANES), np.int32)
         if src is not None:
             a[:T] = src
         route_ws.append(a)
     rsub_ws = []
-    for wi, src in zip(range(nsw), list(s.rsub_words) + [None] * 2):
+    for wi, src in zip(range(nsw), list(s.rsub_words) + [None] * 4):
         a = np.zeros((Tp, 8, LANES), np.int32)
         if src is not None:
             a[:T] = src
@@ -231,6 +243,8 @@ def _routed_kernel(
         sws = [r[0, j * 8 : (j + 1) * 8, :] for r in rsub_refs]
         vals = vals_ref[0, j * 8 : (j + 1) * 8, :]
         rank = _srl(rws[0], 28) & 15
+        if l1 > 16:  # rank bit 4 lives in word 1 bit 28
+            rank = rank | (_srl(rws[1], 24) & 16)
         xg = jnp.zeros((8, LANES), jnp.float32)
         for l in range(l1):
             w = win_ref[(i * tchunk + j) * l1 + l]
@@ -268,21 +282,23 @@ def _routed_kernel(
     # ~100 ns per EXECUTED layer vs ~9.4 ns unconditional — each branch
     # region serializes the VMEM read-modify-write pipeline.  The class
     # split (plan/routed.py) bounds the padding this trades for.
+    # v3: no validity bits — padded/absent sides carry (sub, lane) = (0, 0)
+    # and read the reserved zero slot (P'[0] == 0 by plan construction)
     for j in range(tchunk):
         pf = pf_all[j * 8 : (j + 1) * 8, :]
         for k in range(lmax):
             offp = (j * npair + k // 2) * 8
-            raw = _srl(bl_ref[0, offp : offp + 8, :], 16 * (k % 2))
+            raw = _srl(bl_ref[0, offp : offp + 8, :], 14 * (k % 2))
             offq = (j * nquad + k // 4) * 8
             q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
             ga = jnp.take_along_axis(
                 jnp.take_along_axis(pf, q & 7, axis=0),
                 raw & 127, axis=1,
-            ) * (_srl(raw, 7) & 1).astype(jnp.float32)
+            )
             gb = jnp.take_along_axis(
                 jnp.take_along_axis(pf, _srl(q, 4) & 7, axis=0),
-                _srl(raw, 8) & 127, axis=1,
-            ) * (_srl(raw, 15) & 1).astype(jnp.float32)
+                _srl(raw, 7) & 127, axis=1,
+            )
             b = byt_ref[(i * tchunk + j) * lmax + k]
             prev = y_ref[pl.ds(b * 8, 8), :]
             y_ref[pl.ds(b * 8, 8), :] = prev + ga - gb

@@ -9,17 +9,26 @@ out-of-order scheduler play in hardware, base_functions.cpp:356-436 +
 spmv-helper.cpp:429-515):
 
 - nnz are sorted by (column strip, row, col) where a STRIP is
-  ``strip_windows`` (default 4) consecutive 1024-column windows, and packed
-  densely into (8,128) tiles of 1024 SLOTS.  Unlike the first routed
-  design (one (row-band, window) group per tile), a tile may gather from
-  up to ``l1`` different x windows (each pass-1 LAYER carries its own
-  window id) and scatter boundary sums into up to ``lmax`` different y
-  tiles (each pass-3 layer carries its own y-tile id).  Scattered
-  matrices whose (band, window) cells hold only tens of nonzeros — the
-  power-law / circuit / NLP classes that previously fell to the 16 ns/nnz
-  element-scatter residual — now pack at high fill: measured per-tile
-  cost is ~61.5 ns + ~3.4 ns per pass-1 layer + ~9.5 ns per boundary
-  layer (v5e, loop-slope), i.e. ~0.1-0.6 ns/nnz at realistic fills.
+  ``strip_windows`` consecutive 1024-column windows (auto-picked from
+  {2, 4, 8, 16} by the cheap cost estimate: wider strips raise nnz per
+  (window, band) cell, cutting boundary layers per tile at the price of
+  pass-1 window layers), and packed densely into (8,128) tiles of 1024
+  SLOTS.  A tile may gather from up to ``l1`` (<= 32) different x windows
+  (each pass-1 LAYER carries its own window id) and scatter boundary sums
+  into up to ``lmax`` (<= 32) different y tiles (each pass-3 layer
+  carries its own y-tile id).  Scattered matrices whose (band, window)
+  cells hold only tens of nonzeros — the power-law / circuit / NLP
+  classes that would otherwise fall to the 16 ns/nnz element-scatter
+  residual — pack at high fill.
+- v3 zero-lane layout: the 8 lane-0 slots of every tile are reserved
+  zero pads (values 0, rows/cols forward-filled from the lane-1
+  neighbor).  No run ever starts right after or ends on a lane-0 slot,
+  so no boundary entry's source sits at lane 0, so the (sub, lane) =
+  (0, 0) read is guaranteed to see sub-field 0 and the in-tile prefix
+  P'[0, 0] == 0.  Boundary words therefore carry NO validity bits: a
+  padded/absent boundary side reads an exact 0 instead of being masked,
+  which removes ~8 vector ops per boundary layer per tile — the dominant
+  cost on scattered matrices.
 - pass 1 (x gather): slot (s,j) reads x[win_l*1024 + sub*128 + lane] via
   the two supported in-tile gathers — a sublane take_along_axis composed
   with a lane take_along_axis from layer l's window slice.  The planner
@@ -44,13 +53,13 @@ an independently executable stream.
 Streams are stored COMPRESSED (the stream is the cost):
 
 - ``vals``   f32 [T,8,128]: the slot's value;
-- ``route``  i32 [T,8,128]: lane_l << (7*(l%4)) for layers 0-3, plus the
-  slot's layer (rank) in bits 28-30;
-- ``route2`` i32 [T,8,128] (only when l1 > 4): lane_l << (7*(l-4)) for
-  layers 4-7;
-- ``rsub``   i32 [T,8,128] per SOURCE lane: sub_l << (3*l), layers 0-7;
+- ``routes`` list of i32 [T,8,128]: lane_l << (7*(l%4)) in word l//4;
+  word 0 also carries the slot's layer (rank) bits 0-3 in bits 28-31 and
+  word 1 carries rank bit 4 in bit 28 (ranks reach 31 at L1_CAP=32);
+- ``rsubs``  list of i32 [T,8,128] per SOURCE lane: sub_l << (3*(l%8))
+  in word l//8;
 - ``bl``     i32 [T,ceil(L/2),8,128]: boundary lanes, two layers per
-  word — (a_lane | a_valid<<7 | b_lane<<8 | b_valid<<15) << (16*(k%2));
+  word — (a_lane | b_lane<<7) << (14*(k%2)), NO validity bits;
 - ``bs``     i32 [T,ceil(L/4),8,128] per source lane: four layers per
   word — (a_sub | b_sub<<4) << (8*(k%4));
 - ``win``    i32 [T,l1]: x window per pass-1 layer;
@@ -79,48 +88,57 @@ TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 # split bounds.
 TILE_BASE_NS = 54.0
 TILE_L1_NS = 4.0
-TILE_BND_NS = 9.4
+TILE_BND_NS = 7.0  # v3: no validity ops (zero-slot trick)
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
 
-L1_CAP = 16  # pass-1 layers (window chains + conflict ranks)
+L1_CAP = 32  # pass-1 layers (window chains + conflict ranks)
 L_CAP = 32  # boundary layers (band chains + conflict ranks)
 LAUNCH_NS = 3000.0  # per-stream kernel dispatch cost
+# v3: all lane-0 slots (8 per tile) are reserved zero pads, so no boundary
+# entry's source (end / start-1) ever sits at lane 0 — the (sub, lane) =
+# (0, 0) read is then guaranteed to see sub-field 0 and P'[0, 0] == 0,
+# which is what lets bl/bs drop their validity bits entirely (an entry's
+# a and b sides may live in different conflict layers; the absent side
+# reads an exact 0 instead of being masked).
+PAYLOAD = TILE - 8  # 8 sublane rows x 127 payload lanes
 
 
 @dataclasses.dataclass
 class RoutedStream:
-    """One cost class of tiles, fully compressed (see module docstring)."""
+    """One cost class of tiles, fully compressed (see module docstring).
+
+    v3 layout: slot 0 of every tile is a reserved zero (value 0, extends
+    the first run), so the in-tile prefix P'[0] == 0 and boundary entries
+    need NO validity bits — an absent/padded boundary layer entry reads
+    P'[0]-P'[0] = 0 and a run starting the tile reads P'[end]-P'[0]."""
 
     num_tiles: int
     l1: int  # pass-1 layers this stream's kernel unrolls
     lmax: int  # boundary layers this stream's kernel unrolls
     vals: np.ndarray  # f32 [T, 8, 128]
-    route: np.ndarray  # i32 [T, 8, 128]: lanes for layers 0-3 + rank<<28
-    route2: Optional[np.ndarray]  # i32 [T, 8, 128]: lanes 4-7 (l1 > 4)
-    rsub: np.ndarray  # i32 [T, 8, 128]: subs for layers 0-7
+    routes: list  # i32 [T, 8, 128] lane words: layer l at bits 7*(l%4) of
+    # word l//4; word 0 also carries rank bits 28-31, word 1 (when
+    # present) carries rank bit 4 at bit 28
+    rsubs: list  # i32 [T, 8, 128] sub words: layer l at bits 3*(l%8)
     win: np.ndarray  # i32 [T, l1]
-    bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]
-    bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]
+    bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]: boundary lanes, two
+    # layers per word — (a_lane | b_lane<<7) << (14*(k%2)), no valid bits
+    bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]: boundary subs, four
+    # layers per word — (a_sub | b_sub<<4) << (8*(k%4))
     byt: np.ndarray  # i32 [T, lmax]
     lt: np.ndarray  # i32 [T]: ACTUAL boundary layers per tile (kept for
     # diagnostics/cost analysis; the kernel runs every class-cap layer —
-    # padded layers carry zero valid bits and add exact zeros)
-    route3: Optional[np.ndarray] = None  # i32: lanes for layers 8-11
-    route4: Optional[np.ndarray] = None  # i32: lanes for layers 12-15
-    rsub2: Optional[np.ndarray] = None  # i32: subs for layers 8-15
+    # padded layers read the zero slot and add exact zeros)
 
     @property
     def route_words(self) -> tuple:
         """Lane-bitfield words in layer order (1 per 4 pass-1 layers)."""
-        return tuple(
-            w for w in (self.route, self.route2, self.route3, self.route4)
-            if w is not None
-        )
+        return tuple(self.routes)
 
     @property
     def rsub_words(self) -> tuple:
         """Sub-bitfield words in layer order (1 per 8 pass-1 layers)."""
-        return tuple(w for w in (self.rsub, self.rsub2) if w is not None)
+        return tuple(self.rsubs)
 
     @property
     def stream_bytes(self) -> int:
@@ -290,7 +308,15 @@ def estimate_routed_cost_ns(
         + RESIDUAL_NS * float(gsz[demote].sum()) + 2 * LAUNCH_NS
     tiles = int(tiles_g[~demote].sum())
     lbar = float((tiles_g[~demote] * L_g[~demote]).sum()) / max(tiles, 1)
-    stream_bytes = int(tiles * TILE * (12 + 8 * -(-lbar // 1)))
+    l1bar = float(
+        (tiles_g[~demote] * l1_g[~demote]).sum()
+    ) / max(tiles, 1)
+    # per-slot words: vals + lane words (4 layers ea) + sub words (8
+    # layers ea) + bl (2 boundary layers ea) + bs (4 ea)
+    words = (
+        1 + -(-l1bar // 4) + -(-l1bar // 8) + -(-lbar // 2) + -(-lbar // 4)
+    )
+    stream_bytes = int(tiles * TILE * 4 * words)
     kept = int(gsz[~demote].sum())
     return {
         "tiles": tiles,
@@ -299,6 +325,23 @@ def estimate_routed_cost_ns(
         "fill": kept / max(tiles * TILE, 1),
         "residual": int(gsz[demote].sum()),
     }
+
+
+def best_routed_estimate(
+    rows: np.ndarray, cols: np.ndarray, shape: tuple, l_cap: int = L_CAP
+) -> dict:
+    """Cheapest ``estimate_routed_cost_ns`` over the auto strip widths —
+    the estimate the DSE should use, mirroring build_routed_plan's auto
+    mode."""
+    return min(
+        (
+            estimate_routed_cost_ns(
+                rows, cols, shape, strip_windows=sw, l_cap=l_cap
+            )
+            for sw in (2, 4, 8, 16)
+        ),
+        key=lambda e: e["est_ns"],
+    )
 
 
 def plan_cost_ns(plan: RoutedPlan) -> float:
@@ -323,21 +366,31 @@ def build_routed_plan(
     l_cap: int = L_CAP,
     max_streams: int = 3,
 ) -> RoutedPlan:
-    """Build a routed plan; ``strip_windows=0`` (auto) starts at 4-window
-    strips and retries at 2 when pass-1 conflict eviction is heavy (dense
-    multi-window tiles can exceed the layer budget), keeping the plan
-    with the lower modeled cost."""
+    """Build a routed plan; ``strip_windows=0`` (auto) ranks strip widths
+    {2, 4, 8, 16} by the cheap macro-cell estimate (wider strips raise nnz
+    per band cell — fewer boundary layers per tile — at the price of more
+    pass-1 window layers), builds the best, and retries at the runner-up
+    when pass-1 conflict eviction made the residual heavy, keeping the
+    plan with the lower modeled cost."""
     if strip_windows == 0:
-        plan = _build_routed_plan(coo, 4, l1_cap, l_cap, max_streams)
-        # retry with narrower strips when conflict eviction made the
-        # residual a significant share of the modeled cost (2-window
-        # strips leave twice the conflict-layer budget per window)
+        ests = sorted(
+            (
+                estimate_routed_cost_ns(
+                    coo.rows, coo.cols, coo.shape,
+                    strip_windows=sw, l_cap=l_cap,
+                )["est_ns"],
+                sw,
+            )
+            for sw in (2, 4, 8, 16)
+        )
+        sw0, sw1 = ests[0][1], ests[1][1]
+        plan = _build_routed_plan(coo, sw0, l1_cap, l_cap, max_streams)
         res_cost = RESIDUAL_NS * len(plan.residual_vals)
         if res_cost > 0.10 * plan_cost_ns(plan):
-            alt = _build_routed_plan(coo, 2, l1_cap, l_cap, max_streams)
+            alt = _build_routed_plan(coo, sw1, l1_cap, l_cap, max_streams)
             if plan_cost_ns(alt) < plan_cost_ns(plan):
-                plan = alt
-        return _repack_residual(plan, 4, l1_cap, l_cap)
+                plan, sw0 = alt, sw1
+        return _repack_residual(plan, sw0, l1_cap, l_cap)
     plan = _build_routed_plan(
         coo, strip_windows, l1_cap, l_cap, max_streams
     )
@@ -446,13 +499,19 @@ def _build_routed_plan(
     gsz = np.bincount(gid, weights=ssize.astype(np.float64)).astype(
         np.int64
     )
-    gpad = -(-gsz // TILE) * TILE
+    # v3: every tile reserves its 8 lane-0 slots as zero pads (see the
+    # PAYLOAD comment), so tiles hold 8 x 127 real slots
+    gpad = -(-gsz // PAYLOAD) * TILE
     T0 = int(gpad.sum() // TILE)
     N = T0 * TILE
     goff = np.concatenate([[0], np.cumsum(gpad)])[:-1]
     gfirst = np.concatenate([[0], np.cumsum(gsz)])[:-1]
     within = np.arange(len(rows)) - np.repeat(gfirst, gsz)
-    pos = np.repeat(goff, gsz) + within
+    wt, wp = within // PAYLOAD, within % PAYLOAD
+    pos = (
+        np.repeat(goff, gsz)
+        + wt * TILE + (wp // 127) * 128 + 1 + wp % 127
+    )
 
     p_rows = np.full(N, -1, np.int64)
     p_cols = np.zeros(N, np.int64)
@@ -468,6 +527,13 @@ def _build_routed_plan(
         np.maximum.accumulate(idx, out=idx)
         p_rows = p_rows[idx]
         p_cols = p_cols[idx]
+    # reserved lane-0 slots must extend the run that FOLLOWS them (a
+    # backward fill would move run ends/starts onto lane 0, or borrow the
+    # previous tile's row and charge a foreign band chain): forward-fill
+    # every lane-0 slot from its lane-1 neighbor
+    l0 = np.arange(0, N, 128)
+    p_rows[l0] = p_rows[l0 + 1]
+    p_cols[l0] = p_cols[l0 + 1]
 
     # ---- per-tile stats + demotion to residual --------------------------
     tile_of = np.arange(N) // TILE
@@ -729,9 +795,13 @@ def _build_routed_plan(
 
         vals_s = np.zeros((Ts, 8, 128), np.float32)
         vals_s[st, ss, sj] = v
-        # lane words: 4 layers per i32 (7 bits each); word 0 also carries
-        # the slot's rank in bits 28-31 (uint domain — bit 31 used at
-        # rank >= 8; the kernel reads it with shift_right_logical)
+        # v3: force the reserved zero slot (P'[0] == 0 is what lets
+        # boundary entries skip validity bits entirely)
+        vals_s[:, 0, 0] = 0.0
+        # lane words: 4 layers per i32 (7 bits each); word 0 carries the
+        # slot's rank bits 0-3 in bits 28-31, word 1 carries rank bit 4 in
+        # bit 28 (ranks go to 31 at L1_CAP=32; uint domain — the kernel
+        # reads with shift_right_logical)
         route_ws = []
         for wi in range(-(-sl1 // 4)):
             arr = np.zeros((Ts, 8, 128), np.uint32)
@@ -741,13 +811,13 @@ def _build_routed_plan(
             ).astype(np.uint32)
             route_ws.append(arr)
         route_ws[0][st[nzm], ss[nzm], sj[nzm]] |= (
-            lay[nzm].astype(np.uint32) << 28
+            (lay[nzm].astype(np.uint32) & 15) << 28
         )
+        if sl1 > 16:
+            route_ws[1][st[nzm], ss[nzm], sj[nzm]] |= (
+                (lay[nzm].astype(np.uint32) >> 4) << 28
+            )
         route_ws = [a.view(np.int32) for a in route_ws]
-        route_s = route_ws[0]
-        route2_s = route_ws[1] if sl1 > 4 else None
-        route3_s = route_ws[2] if sl1 > 8 else None
-        route4_s = route_ws[3] if sl1 > 12 else None
         # rsub: per (tile, payload row, SOURCE lane, layer) — dedup pairs
         # sharing (cell, layer) (they share sub by construction), then sum;
         # 8 layers per i32 word (3 bits each)
@@ -768,8 +838,6 @@ def _build_routed_plan(
             ).reshape(Ts, 8, 128)
             for wi in range(-(-sl1 // 8))
         ]
-        rsub_s = rsub_ws[0]
-        rsub2_s = rsub_ws[1] if sl1 > 8 else None
         win_s = win_l[tiles, :sl1].astype(np.int32)
 
         npair = -(-sL // 2)
@@ -782,12 +850,13 @@ def _build_routed_plan(
         bll, bss = b_lane[esel], b_sub[esel]
         hb3 = np.nonzero(has_b[esel])[0]
         # bl: boundary entries are unique per (tile, layer, sy, jy); one
-        # class per (side, word parity)
+        # class per (side, word parity).  v3: NO validity bits — absent
+        # sides/entries stay 0 and read the reserved zero slot (0, 0)
         cp = ((et * npair + ea // 2) * 8 + ey) * 128 + ej
         bl_classes = []
         for par in (0, 1):
             m = (ea % 2) == par
-            bl_classes.append((cp[m], (al[m] + 128) << (16 * par)))
+            bl_classes.append((cp[m], al[m] << (14 * par)))
         if len(hb3):
             cb = ((et[hb3] * npair + eb[hb3] // 2) * 8 + ey[hb3]) * 128 \
                 + ej[hb3]
@@ -795,7 +864,7 @@ def _build_routed_plan(
             for par in (0, 1):
                 m = (ebh % 2) == par
                 bl_classes.append(
-                    (cb[m], ((bll[hb3][m] + 128) << 8) << (16 * par))
+                    (cb[m], (bll[hb3][m] << 7) << (14 * par))
                 )
         bl_s = _acc(bl_classes, Ts * npair * TILE).reshape(
             Ts, npair, 8, 128
@@ -836,10 +905,9 @@ def _build_routed_plan(
 
         streams.append(RoutedStream(
             num_tiles=Ts, l1=sl1, lmax=sL,
-            vals=vals_s, route=route_s, route2=route2_s, rsub=rsub_s,
+            vals=vals_s, routes=route_ws, rsubs=rsub_ws,
             win=win_s, bl=bl_s, bs=bs_s, byt=byt_s,
             lt=L_t[tiles].astype(np.int32),
-            route3=route3_s, route4=route4_s, rsub2=rsub2_s,
         ))
 
     # costliest class last (cheap/large classes stream first)
@@ -920,11 +988,14 @@ def _stream_matvec_numpy(
     """Golden executor for one stream, mirroring the kernel's exact
     dataflow (float64 accumulate), accumulating into ``y``."""
     lanes = np.arange(128)
-    route_u = s.route.view(np.uint32)
     route_words = s.route_words
     rsub_words = s.rsub_words
     for t in range(s.num_tiles):
-        rank = (route_u[t] >> 28) & 15
+        rank = (route_words[0][t].view(np.uint32) >> 28) & 15
+        if s.l1 > 16:
+            rank = rank | (
+                ((route_words[1][t].view(np.uint32) >> 28) & 1) << 4
+            )
         # pass 1
         p = np.zeros((8, 128), np.float64)
         for l in range(s.l1):
@@ -943,23 +1014,21 @@ def _stream_matvec_numpy(
             )
         # pass 2
         pf2 = np.cumsum(p.reshape(-1)).reshape(8, 128)
-        # pass 3
+        # pass 3 (v3: no validity bits — absent sides read P'[0] == 0)
         for k in range(s.lmax):
-            raw = (s.bl[t, k // 2].view(np.uint32) >> (16 * (k % 2))) \
-                & 0xFFFF
+            raw = (s.bl[t, k // 2].view(np.uint32) >> (14 * (k % 2))) \
+                & 0x3FFF
             q = (s.bs[t, k // 4].view(np.uint32) >> (8 * (k % 4))) & 0xFF
             a_lane = raw & 127
-            av = (raw >> 7) & 1
-            b_lane = (raw >> 8) & 127
-            bv = (raw >> 15) & 1
+            b_lane = (raw >> 7) & 127
             a_sub = q & 7
             b_sub = (q >> 4) & 7
             ga = np.take_along_axis(
                 pf2[a_sub, lanes[None, :]], a_lane.astype(np.int64), axis=1
-            ) * av
+            )
             gb = np.take_along_axis(
                 pf2[b_sub, lanes[None, :]], b_lane.astype(np.int64), axis=1
-            ) * bv
+            )
             b = int(s.byt[t, k])
             y[b * WINDOW : (b + 1) * WINDOW] += (ga - gb).reshape(-1)
 

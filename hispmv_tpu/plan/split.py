@@ -92,10 +92,10 @@ def _pad(n: int, m: int) -> int:
 
 def _pick_body_format(body: COOMatrix) -> str:
     """Routed when the v2 macro-cell estimate beats the ELLX base pass."""
-    from hispmv_tpu.plan.routed import estimate_routed_cost_ns
+    from hispmv_tpu.plan.routed import best_routed_estimate
 
     R, C = body.shape
-    est = estimate_routed_cost_ns(body.rows, body.cols, body.shape)
+    est = best_routed_estimate(body.rows, body.cols, body.shape)
     tiles = est["tiles"]
     t_routed = est["est_ns"] * 1e-9 + min(
         est["residual"] * 1.6e-8, R * 516 / 450e9

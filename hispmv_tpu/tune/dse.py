@@ -76,7 +76,7 @@ class TuneResult:
 # changes (new kernel codegen, layer caps, ...) so cached MEASURED winners
 # from the previous generation are re-evaluated.  The cost-model constants
 # are hashed separately (profile hash in tune()).
-KERNEL_GEN = 2  # gen 2: routed streams up to 16 pass-1 layers
+KERNEL_GEN = 3  # gen 3: v3 zero-lane routed streams, 32-layer caps, auto strips
 
 
 def matrix_fingerprint(coo: COOMatrix) -> str:
@@ -336,9 +336,9 @@ class DSE:
                 ov = int(np.maximum(counts - k, 0).sum())
                 # routed body alternative (build_split_plan body="auto"
                 # makes the same choice at plan time)
-                from hispmv_tpu.plan.routed import estimate_routed_cost_ns
+                from hispmv_tpu.plan.routed import best_routed_estimate
 
-                bst = estimate_routed_cost_ns(
+                bst = best_routed_estimate(
                     coo.rows[body_sel], coo.cols[body_sel], coo.shape
                 )
                 t_rb = self.model.routed_seconds(
@@ -363,9 +363,9 @@ class DSE:
         # ~1.4x of the built plan's modeled cost on structured classes,
         # ~2-4x optimistic on heavily scattered ones (conflict layers are
         # not modeled) — measure_candidates() resolves close calls.
-        from hispmv_tpu.plan.routed import estimate_routed_cost_ns
+        from hispmv_tpu.plan.routed import best_routed_estimate
 
-        rst = estimate_routed_cost_ns(coo.rows, coo.cols, coo.shape)
+        rst = best_routed_estimate(coo.rows, coo.cols, coo.shape)
         if rst["tiles"] and self.model.fits(rst["stream_bytes"]):
             t = self.model.routed_seconds(
                 rst["est_ns"], rst["stream_bytes"], rst["residual"], R, C,
@@ -390,7 +390,7 @@ class DSE:
             crank, _ = degree_rank_perms(
                 np.bincount(coo.cols, minlength=C)
             )
-            rstr = estimate_routed_cost_ns(
+            rstr = best_routed_estimate(
                 rrank[coo.rows.astype(np.int64)],
                 crank[coo.cols.astype(np.int64)],
                 coo.shape,
