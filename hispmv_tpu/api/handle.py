@@ -612,8 +612,15 @@ class SpmvHandle:
         from hispmv_tpu.plan.routed import (
             build_ranked_routed_plan,
             build_routed_plan,
+            routed_vmem_ok,
         )
 
+        if not routed_vmem_ok(coo.shape):
+            raise ValueError(
+                "routed format needs x and y VMEM-resident; shape "
+                f"{coo.shape} exceeds the budget — use the chunked "
+                "(block/window, x+y panel-streamed) or ellx formats"
+            )
         if self.config.rank_sort:
             plan = build_ranked_routed_plan(coo)
         else:

@@ -21,9 +21,11 @@ analog of the reference's per-nnz dataflow: the butterfly crossbar and
 out-of-order scheduler become plan-time routing arrays
 (base_functions.cpp:356-436, spmv-helper.cpp:429-515).
 
-Measured (v5e, loop-slope, unconditional phase C): ~54 ns per tile at
-tchunk=16 (phases A+B) + ~3.4 ns per pass-1 layer + ~9.4 ns per boundary
-layer (every class-cap layer runs; padded layers add exact zeros).
+Measured (v5e, loop-slope, v3 calibration 2026-08-18, effective
+constants incl. each layer's stream-DMA share): ~30 ns per tile +
+~6.4 ns per pass-1 layer + ~17.9 ns per boundary layer (every class-cap
+layer runs; padded layers add exact zeros — a boundary layer is ~16
+vector ops on (8,128) vregs, i.e. ALU-issue-bound).
 """
 
 from __future__ import annotations

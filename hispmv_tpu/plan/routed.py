@@ -78,17 +78,20 @@ from hispmv_tpu.formats.matrix import COOMatrix
 WINDOW = 1024  # columns per window = one (8,128) x tile
 TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 
-# Measured per-tile cost constants (v5e, loop-slope, 2026-08-17 phase
-# dissection of the UNCONDITIONAL kernel: 54 ns/tile phases A+B at
-# tchunk=16, +~4 ns per extra pass-1 layer, +9.4 ns per boundary layer
-# incl. its dynamic y read-modify-write and stream DMA) used for the
-# tile-vs-residual demotion rule and stream classing.  Every class-cap
-# layer executes (padded layers add exact zeros), so a tile is charged
-# its CLASS's lmax, not its own layer count — which is what the class
-# split bounds.
-TILE_BASE_NS = 54.0
-TILE_L1_NS = 4.0
-TILE_BND_NS = 7.0  # v3: no validity ops (zero-slot trick)
+# Measured per-tile cost constants (v5e, loop-slope, 2026-08-18 v3
+# calibration over controlled (l1, lmax) synthetic streams), used for the
+# tile-vs-residual demotion rule and stream classing.  These are
+# EFFECTIVE linear constants: each layer's share of stream DMA (4 KiB
+# per word per tile at ~794 GB/s — lane/sub words follow l1, bl/bs words
+# follow lmax) is folded into its per-layer coefficient, which is why
+# TILE_BND_NS exceeds its pure-compute ~14 ns (16 vector ops).  Fit
+# residual is ~±15% across the calibration grid.  Every class-cap layer
+# executes (padded layers add exact zeros), so a tile is charged its
+# CLASS's lmax, not its own layer count — which is what the class split
+# bounds.
+TILE_BASE_NS = 30.0
+TILE_L1_NS = 6.4
+TILE_BND_NS = 17.9
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
 
 L1_CAP = 32  # pass-1 layers (window chains + conflict ranks)
@@ -325,6 +328,22 @@ def estimate_routed_cost_ns(
         "fill": kept / max(tiles * TILE, 1),
         "residual": int(gsz[demote].sum()),
     }
+
+
+def routed_vmem_ok(shape: tuple, budget_bytes: int = 8 << 20) -> bool:
+    """The routed kernel keeps x AND y fully VMEM-resident (pow-2
+    bucketed); million-row matrices (soc-Pokec scale) exceed VMEM and
+    must use the panel-streamed chunked/ellx paths instead."""
+    nwin = max(-(-shape[1] // WINDOW), 1)
+    nyt = max(-(-shape[0] // WINDOW), 1)
+
+    def b(n):
+        k = 1
+        while k < n:
+            k *= 2
+        return k
+
+    return (b(nwin) + b(nyt)) * 8 * 128 * 4 <= budget_bytes
 
 
 def best_routed_estimate(

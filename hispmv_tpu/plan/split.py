@@ -92,9 +92,12 @@ def _pad(n: int, m: int) -> int:
 
 def _pick_body_format(body: COOMatrix) -> str:
     """Routed when the v2 macro-cell estimate beats the ELLX base pass."""
-    from hispmv_tpu.plan.routed import best_routed_estimate
+    from hispmv_tpu.plan.routed import (
+        best_routed_estimate, routed_vmem_ok)
 
     R, C = body.shape
+    if not routed_vmem_ok(body.shape):
+        return "ellx"
     est = best_routed_estimate(body.rows, body.cols, body.shape)
     tiles = est["tiles"]
     t_routed = est["est_ns"] * 1e-9 + min(

@@ -336,11 +336,15 @@ class DSE:
                 ov = int(np.maximum(counts - k, 0).sum())
                 # routed body alternative (build_split_plan body="auto"
                 # makes the same choice at plan time)
-                from hispmv_tpu.plan.routed import best_routed_estimate
+                from hispmv_tpu.plan.routed import (
+                    best_routed_estimate, routed_vmem_ok)
 
-                bst = best_routed_estimate(
-                    coo.rows[body_sel], coo.cols[body_sel], coo.shape
-                )
+                if routed_vmem_ok(coo.shape):
+                    bst = best_routed_estimate(
+                        coo.rows[body_sel], coo.cols[body_sel], coo.shape
+                    )
+                else:
+                    bst = {"tiles": 0}
                 t_rb = self.model.routed_seconds(
                     bst["est_ns"], bst["stream_bytes"], bst["residual"],
                     R, C,
@@ -363,10 +367,13 @@ class DSE:
         # ~1.4x of the built plan's modeled cost on structured classes,
         # ~2-4x optimistic on heavily scattered ones (conflict layers are
         # not modeled) — measure_candidates() resolves close calls.
-        from hispmv_tpu.plan.routed import best_routed_estimate
+        from hispmv_tpu.plan.routed import (
+            best_routed_estimate, routed_vmem_ok)
 
+        routed_fits_vmem = routed_vmem_ok(coo.shape)
         rst = best_routed_estimate(coo.rows, coo.cols, coo.shape)
-        if rst["tiles"] and self.model.fits(rst["stream_bytes"]):
+        if rst["tiles"] and routed_fits_vmem \
+                and self.model.fits(rst["stream_bytes"]):
             t = self.model.routed_seconds(
                 rst["est_ns"], rst["stream_bytes"], rst["residual"], R, C,
             )
@@ -378,7 +385,7 @@ class DSE:
         # low-layer tiles (plan/routed.py build_ranked_routed_plan).
         # Only worth evaluating when the matrix is irregular enough that
         # plain routed already carries real cost.
-        if rst["tiles"] and rst["est_ns"] > 50e3:
+        if rst["tiles"] and routed_fits_vmem and rst["est_ns"] > 50e3:
             from hispmv_tpu.plan.permute import (
                 degree_rank_perms,
                 estimate_permute_cost_ns,
