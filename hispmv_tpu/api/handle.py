@@ -98,9 +98,13 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
     with key ``prefix``; returns y[:R].  Shared by the 'routed' format and
     the split format's routed body.  Each cost-class stream runs its own
     kernel (light tiles are not charged heavy tiles' layers); their y
-    tiles are summed."""
+    tiles are summed.  A banded meta (matrices whose x + y exceed VMEM,
+    plan/routed.py BandedRoutedPlan) dispatches to the cell grid."""
     from hispmv_tpu.ops.spmv_routed import (
         spmv_routed_stream_pallas, stream_array_names)
+
+    if meta.get("cells") is not None:
+        return _run_routed_banded(d, x, R, meta, prefix, interp)
 
     nwinp, nytp = meta["nwinp"], meta["nytp"]
     if meta.get("xperm") is not None:
@@ -146,6 +150,49 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
             meta["rchunk"], meta["res_ov"], interpret=interp,
         )
         y = y + yr.reshape(-1)[:R]
+    if meta.get("yperm") is not None:
+        from hispmv_tpu.ops.permute import panel_permute_apply_from
+
+        y = panel_permute_apply_from(
+            d, meta["yperm"], prefix + "yp", y, interpret=interp
+        )
+    return y
+
+
+def _run_routed_banded(d, x, R, meta, prefix, interp):
+    """Execute a banded routed plan (plan/routed.py BandedRoutedPlan):
+    per-cell streams over static x slices, panel results summed into each
+    row band, bands concatenated.  The rank-space permute sandwich (when
+    present) wraps the WHOLE grid — hub nonzeros are concentrated into
+    the top-left cells at plan time.
+
+    This is the routed format's row-tiling answer for y > VMEM matrices
+    (reference: spmv-helper.cpp:139-263 row tiles)."""
+    if meta.get("xperm") is not None:
+        from hispmv_tpu.ops.permute import panel_permute_apply_from
+
+        x = panel_permute_apply_from(
+            d, meta["xperm"], prefix + "xp", x, interpret=interp
+        )
+    band_rows = meta["band_rows"]
+    nb = meta["nbands"]
+    bands = [None] * nb
+    for cell in meta["cells"]:
+        xs = x[cell["c0"]:cell["c0"] + cell["ncols"]]
+        yc = _run_routed_part(
+            d, xs, cell["nrows"], cell["meta"], cell["prefix"], interp
+        )
+        bi = cell["r0"] // band_rows
+        bands[bi] = yc if bands[bi] is None else bands[bi] + yc
+    parts = []
+    for bi in range(nb):
+        n = min(band_rows, R - bi * band_rows)
+        parts.append(
+            bands[bi]
+            if bands[bi] is not None
+            else jnp.zeros((n,), jnp.float32)
+        )
+    y = jnp.concatenate(parts) if len(parts) > 1 else parts[0]
     if meta.get("yperm") is not None:
         from hispmv_tpu.ops.permute import panel_permute_apply_from
 
@@ -224,7 +271,7 @@ class SpmvHandle:
         from hispmv_tpu.ops.spmv_ellx import EllxPlan
         from hispmv_tpu.plan.blocks import BlockPlan
         from hispmv_tpu.plan.partition import StreamPlan
-        from hispmv_tpu.plan.routed import RoutedPlan
+        from hispmv_tpu.plan.routed import BandedRoutedPlan, RoutedPlan
         from hispmv_tpu.plan.split import SplitPlan
         from hispmv_tpu.plan.windows import WindowPlan
 
@@ -233,7 +280,20 @@ class SpmvHandle:
         self.coo = None
         self.shape = tuple(plan.shape)
         self.nnz = plan.nnz
-        if isinstance(plan, RoutedPlan):
+        if isinstance(plan, BandedRoutedPlan):
+            self._routed_plan_meta = plan
+            self._d = {}
+            self._routed_meta = self._routed_pack_banded_into(
+                self._d, plan
+            )
+            self._routed_residual = None
+            self._routed_residual_coo = False
+            self._fill = plan.fill
+            self.device_bytes = sum(
+                int(v.nbytes) for v in self._d.values()
+            )
+            fmt = "routed"
+        elif isinstance(plan, RoutedPlan):
             self._routed_plan_meta = plan
             self._d = {}
             self._routed_meta = self._routed_pack_into(
@@ -541,29 +601,9 @@ class SpmvHandle:
             "yperm": None,
         }
         if plan.col_perms is not None:
-            # rank-space plan: x is permuted into rank space before the
-            # streams, y permuted back after (plan/permute.py 3-stage
-            # kernels; panel-local perms)
-            from hispmv_tpu.ops.permute import pack_permute_into
-            from hispmv_tpu.plan.permute import build_permute_plan
-
-            meta["xperm"] = [
-                pack_permute_into(
-                    d, build_permute_plan(p), prefix + f"xp{i}_"
-                )
-                for i, p in enumerate(plan.col_perms)
-            ]
-            yperms = []
-            for p in plan.row_perms:
-                inv = np.empty(len(p), np.int64)
-                inv[p] = np.arange(len(p))
-                yperms.append(inv)
-            meta["yperm"] = [
-                pack_permute_into(
-                    d, build_permute_plan(p), prefix + f"yp{i}_"
-                )
-                for i, p in enumerate(yperms)
-            ]
+            meta["xperm"], meta["yperm"] = self._pack_rank_perms(
+                d, plan.col_perms, plan.row_perms, prefix
+            )
         n_res = len(plan.residual_vals)
         if n_res:
             # Small residuals: element scatter/gather (~16 ns/nnz) beats an
@@ -600,6 +640,61 @@ class SpmvHandle:
                     d[prefix + "r_ov_expand"] = jnp.asarray(eplan.ov_expand)
         return meta
 
+    def _pack_rank_perms(self, d, col_perms, row_perms, prefix=""):
+        """Pack the rank-space permute sandwich: x is permuted into rank
+        space before the streams, y permuted back after (plan/permute.py
+        3-stage kernels; panel-local perms).  Returns (xperm, yperm)
+        metas."""
+        from hispmv_tpu.ops.permute import pack_permute_into
+        from hispmv_tpu.plan.permute import build_permute_plan
+
+        xperm = [
+            pack_permute_into(
+                d, build_permute_plan(p), prefix + f"xp{i}_"
+            )
+            for i, p in enumerate(col_perms)
+        ]
+        yperms = []
+        for p in row_perms:
+            inv = np.empty(len(p), np.int64)
+            inv[p] = np.arange(len(p))
+            yperms.append(inv)
+        yperm = [
+            pack_permute_into(
+                d, build_permute_plan(p), prefix + f"yp{i}_"
+            )
+            for i, p in enumerate(yperms)
+        ]
+        return xperm, yperm
+
+    def _routed_pack_banded_into(self, d, plan, prefix=""):
+        """Pack a BandedRoutedPlan: every cell's RoutedPlan under its own
+        key prefix + the top-level rank-perm sandwich."""
+        meta = {
+            "cells": [],
+            "nbands": plan.num_bands,
+            "band_rows": plan.band_rows,
+            "xperm": None,
+            "yperm": None,
+            "res": None,
+            "res_coo": False,
+        }
+        for i, c in enumerate(plan.cells):
+            cp = prefix + f"c{i}_"
+            sm = self._routed_pack_into(
+                d, c.plan, (c.nrows, c.ncols), prefix=cp
+            )
+            meta["cells"].append({
+                "r0": c.r0, "c0": c.c0,
+                "nrows": c.nrows, "ncols": c.ncols,
+                "prefix": cp, "meta": sm,
+            })
+        if plan.col_perms is not None:
+            meta["xperm"], meta["yperm"] = self._pack_rank_perms(
+                d, plan.col_perms, plan.row_perms, prefix
+            )
+        return meta
+
     def _prepare_routed(self, coo: COOMatrix):
         """Routed-stream format (plan/routed.py + ops/spmv_routed.py):
         per-nnz vectorized execution with plan-time routing — the crossbar
@@ -610,26 +705,33 @@ class SpmvHandle:
         the scale-free/HI-crossbar answer (plan/routed.py
         build_ranked_routed_plan)."""
         from hispmv_tpu.plan.routed import (
+            build_banded_routed_plan,
             build_ranked_routed_plan,
             build_routed_plan,
             routed_vmem_ok,
         )
 
-        if not routed_vmem_ok(coo.shape):
-            raise ValueError(
-                "routed format needs x and y VMEM-resident; shape "
-                f"{coo.shape} exceeds the budget — use the chunked "
-                "(block/window, x+y panel-streamed) or ellx formats"
-            )
-        if self.config.rank_sort:
-            plan = build_ranked_routed_plan(coo)
-        else:
-            plan = build_routed_plan(coo)
-        self._routed_plan_meta = plan
         self._d = {}
-        self._routed_meta = self._routed_pack_into(
-            self._d, plan, coo.shape
-        )
+        if not routed_vmem_ok(coo.shape):
+            # x + y exceed VMEM (soc-Pokec scale): grid of VMEM-feasible
+            # cells, rank-sorted so power-law hubs concentrate top-left
+            # (the y row-tiling answer, spmv-helper.cpp:139-263)
+            plan = build_banded_routed_plan(
+                coo, rank_sort=self.config.rank_sort
+            )
+            self._routed_plan_meta = plan
+            self._routed_meta = self._routed_pack_banded_into(
+                self._d, plan
+            )
+        else:
+            if self.config.rank_sort:
+                plan = build_ranked_routed_plan(coo)
+            else:
+                plan = build_routed_plan(coo)
+            self._routed_plan_meta = plan
+            self._routed_meta = self._routed_pack_into(
+                self._d, plan, coo.shape
+            )
         # back-compat introspection fields
         self._routed_residual = self._routed_meta["res"]
         self._routed_residual_coo = self._routed_meta["res_coo"]
@@ -701,6 +803,10 @@ class SpmvHandle:
         if self.format == "routed":
             from hispmv_tpu.plan.routed import WINDOW as RW
 
+            if self._routed_meta.get("cells") is not None:
+                # banded: cells slice x at original offsets (each cell
+                # pads its own slice); x only needs its true length
+                return self.shape[1]
             return self._routed_meta["nwinp"] * RW
         if self.format == "window":
             from hispmv_tpu.plan.windows import SEGS

@@ -1079,3 +1079,218 @@ def routed_matvec_numpy(plan: RoutedPlan, x: np.ndarray) -> np.ndarray:
     if plan.row_perms is not None:
         y = y[_rank_of_perms(plan.row_perms, R)]
     return y.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Banded routed plans: matrices whose x + y exceed VMEM
+# ---------------------------------------------------------------------------
+#
+# The reference handles arbitrary row counts by row tiles
+# (spmv-helper.cpp:139-263, MAX_ROWS_PER_PE spmv.h:35); the routed format's
+# analog is a grid of independent sub-plans.  Rows are cut into BANDS whose
+# y tile set fits VMEM and columns into PANELS whose x slice fits VMEM;
+# each non-empty (band, panel) cell is a self-contained RoutedPlan over
+# LOCAL indices.  The executor slices x per panel (static offsets), runs
+# each cell's streams, and sums panel results into the band's y.  A row
+# whose run crosses a panel boundary simply splits into two runs whose
+# partial sums accumulate — exactness is preserved by construction.
+
+# Cell sizing: x panel (1024 windows = 4 MiB) + y band (512 tiles = 2 MiB)
+# + the per-stream chunk double buffers stay inside the kernel's VMEM
+# budget (routed_vmem_ok's 8 MiB pair bound).
+BAND_ROWS = 512 * WINDOW  # 524288 rows -> 512 y tiles (2 MiB)
+PANEL_COLS = 1024 * WINDOW  # 1 Mi cols -> 1024 windows (4 MiB)
+
+
+@dataclasses.dataclass
+class RoutedCell:
+    """One (row band, column panel) cell of a banded routed plan.  The
+    nested plan's row/col indices are LOCAL to (r0, c0)."""
+
+    r0: int
+    c0: int
+    nrows: int
+    ncols: int
+    plan: RoutedPlan
+
+
+@dataclasses.dataclass
+class BandedRoutedPlan:
+    """Routed execution for matrices whose x + y exceed VMEM (soc-Pokec
+    scale): a grid of VMEM-feasible RoutedPlan cells (see module comment
+    above).  With ``col_perms``/``row_perms`` the whole GRID is in rank
+    space (global panel-local degree sort, as build_ranked_routed_plan):
+    x is permuted in once, y permuted out once — power-law nonzeros then
+    concentrate into the top-left cells."""
+
+    shape: tuple
+    nnz: int
+    band_rows: int
+    panel_cols: int
+    cells: list  # of RoutedCell, band-major order
+    col_perms: Optional[list] = None
+    row_perms: Optional[list] = None
+
+    @property
+    def num_bands(self) -> int:
+        return -(-self.shape[0] // self.band_rows)
+
+    @property
+    def num_panels(self) -> int:
+        return -(-self.shape[1] // self.panel_cols)
+
+    @property
+    def num_tiles(self) -> int:
+        return sum(c.plan.num_tiles for c in self.cells)
+
+    @property
+    def stream_bytes(self) -> int:
+        return sum(c.plan.stream_bytes for c in self.cells)
+
+    @property
+    def residual_nnz(self) -> int:
+        return sum(len(c.plan.residual_vals) for c in self.cells)
+
+    @property
+    def fill(self) -> float:
+        slots = self.num_tiles * TILE
+        return (self.nnz - self.residual_nnz) / max(slots, 1)
+
+
+def build_banded_routed_plan(
+    coo: COOMatrix,
+    rank_sort: bool = False,
+    band_rows: int = BAND_ROWS,
+    panel_cols: int = PANEL_COLS,
+    strip_windows: int = 0,
+    max_streams: int = 3,
+) -> BandedRoutedPlan:
+    """Partition ``coo`` into (band, panel) cells and build one RoutedPlan
+    per non-empty cell.  ``rank_sort`` degree-sorts rows/cols FIRST
+    (panel-local global perms, the scale-free concentration step) so hub
+    nonzeros land in the top-left cells at high fill."""
+    R, C = coo.shape
+    rows = coo.rows.astype(np.int64)
+    cols = coo.cols.astype(np.int64)
+    vals = coo.values
+    col_perms = row_perms = None
+    if rank_sort:
+        from hispmv_tpu.plan.permute import degree_rank_perms
+
+        rdeg = np.bincount(rows, minlength=R)
+        cdeg = np.bincount(cols, minlength=C)
+        rrank, row_perms = degree_rank_perms(rdeg)
+        crank, col_perms = degree_rank_perms(cdeg)
+        rows = rrank[rows]
+        cols = crank[cols]
+
+    nb = -(-R // band_rows)
+    npn = -(-C // panel_cols)
+    cell_of = (rows // band_rows) * npn + (cols // panel_cols)
+    order = np.argsort(cell_of, kind="stable")
+    bounds = np.searchsorted(
+        cell_of[order], np.arange(nb * npn + 1)
+    )
+    cells = []
+    for ci in range(nb * npn):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        if lo == hi:
+            continue
+        bi, pi = divmod(ci, npn)
+        r0, c0 = bi * band_rows, pi * panel_cols
+        nrows = min(band_rows, R - r0)
+        ncols = min(panel_cols, C - c0)
+        sel = order[lo:hi]
+        sub = COOMatrix(
+            (nrows, ncols), rows[sel] - r0, cols[sel] - c0, vals[sel]
+        )
+        cells.append(RoutedCell(
+            r0=r0, c0=c0, nrows=nrows, ncols=ncols,
+            plan=build_routed_plan(
+                sub, strip_windows=strip_windows, max_streams=max_streams
+            ),
+        ))
+    return BandedRoutedPlan(
+        shape=coo.shape, nnz=coo.nnz, band_rows=band_rows,
+        panel_cols=panel_cols, cells=cells,
+        col_perms=col_perms, row_perms=row_perms,
+    )
+
+
+def estimate_banded_routed_ns(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    shape: tuple,
+    rank_sort: bool = True,
+    band_rows: int = BAND_ROWS,
+    panel_cols: int = PANEL_COLS,
+) -> dict:
+    """Model-only cost estimate of a banded routed plan: per-cell
+    ``estimate_routed_cost_ns`` (strip widths 4 and 16) summed + one
+    launch per cell stream-class.  Used by the DSE when
+    ``routed_vmem_ok`` fails."""
+    R, C = shape
+    rows = rows.astype(np.int64)
+    cols = cols.astype(np.int64)
+    if rank_sort:
+        rdeg = np.bincount(rows, minlength=R)
+        cdeg = np.bincount(cols, minlength=C)
+        rows = (np.argsort(np.argsort(-rdeg, kind="stable")))[rows]
+        cols = (np.argsort(np.argsort(-cdeg, kind="stable")))[cols]
+    nb = -(-R // band_rows)
+    npn = -(-C // panel_cols)
+    cell_of = (rows // band_rows) * npn + (cols // panel_cols)
+    order = np.argsort(cell_of, kind="stable")
+    bounds = np.searchsorted(cell_of[order], np.arange(nb * npn + 1))
+    est_ns = 0.0
+    tiles = 0
+    sbytes = 0
+    residual = 0
+    for ci in range(nb * npn):
+        lo, hi = bounds[ci], bounds[ci + 1]
+        if lo == hi:
+            continue
+        bi, pi = divmod(ci, npn)
+        nrows = min(band_rows, R - bi * band_rows)
+        ncols = min(panel_cols, C - pi * panel_cols)
+        sel = order[lo:hi]
+        e = min(
+            (estimate_routed_cost_ns(
+                rows[sel] - bi * band_rows, cols[sel] - pi * panel_cols,
+                (nrows, ncols), strip_windows=sw,
+            ) for sw in (4, 16)),
+            key=lambda d: d["est_ns"],
+        )
+        est_ns += e["est_ns"] + 2 * LAUNCH_NS
+        tiles += e["tiles"]
+        sbytes += e["stream_bytes"]
+        residual += int(e.get("residual", 0))
+    return {
+        "tiles": tiles, "est_ns": est_ns, "stream_bytes": sbytes,
+        "residual": residual,
+    }
+
+
+def banded_routed_matvec_numpy(
+    plan: BandedRoutedPlan, x: np.ndarray
+) -> np.ndarray:
+    """Golden numpy executor for a banded plan (float64 accumulate)."""
+    R, C = plan.shape
+    x = np.asarray(x, np.float64)
+    if plan.col_perms is not None:
+        perm = np.concatenate([
+            base + p for base, p in zip(
+                np.cumsum([0] + [len(p) for p in plan.col_perms[:-1]]),
+                plan.col_perms,
+            )
+        ])
+        x = x[perm]
+    y = np.zeros(R, np.float64)
+    for c in plan.cells:
+        yc = routed_matvec_numpy(
+            c.plan, x[c.c0:c.c0 + c.ncols].astype(np.float32)
+        )
+        y[c.r0:c.r0 + c.nrows] += yc.astype(np.float64)
+    if plan.row_perms is not None:
+        y = y[_rank_of_perms(plan.row_perms, R)]
+    return y.astype(np.float32)

@@ -24,7 +24,12 @@ from hispmv_tpu.config import SpmvConfig
 from hispmv_tpu.ops.spmv_ellx import EllxPlan
 from hispmv_tpu.plan.blocks import BlockPlan
 from hispmv_tpu.plan.partition import StreamPlan
-from hispmv_tpu.plan.routed import RoutedPlan, RoutedStream
+from hispmv_tpu.plan.routed import (
+    BandedRoutedPlan,
+    RoutedCell,
+    RoutedPlan,
+    RoutedStream,
+)
 from hispmv_tpu.plan.split import SplitPlan
 from hispmv_tpu.plan.windows import WindowPlan
 
@@ -36,6 +41,8 @@ _PLAN_TYPES = {
     "split": SplitPlan,
     "routed": RoutedPlan,
     "routedstream": RoutedStream,
+    "bandedrouted": BandedRoutedPlan,
+    "routedcell": RoutedCell,
 }
 _SEP = ".."
 
@@ -62,6 +69,17 @@ def _flatten(plan, prefix, fields, meta):
             meta[key + "__arraylist__"] = len(v)
             for i, a in enumerate(v):
                 fields[key + f"__al{i}"] = a
+        elif (
+            isinstance(v, list) and v
+            and all(
+                dataclasses.is_dataclass(a) and not isinstance(a, type)
+                for a in v
+            )
+        ):
+            # list of nested plans (banded routed cells): one sub-tree each
+            meta[key + "__planlist__"] = len(v)
+            for i, a in enumerate(v):
+                _flatten(a, key + f"__pl{i}" + _SEP, fields, meta)
         elif isinstance(v, SpmvConfig):
             meta[key + "__config__"] = dataclasses.asdict(v)
         elif dataclasses.is_dataclass(v) and not isinstance(v, type):
@@ -83,6 +101,11 @@ def _unflatten(prefix, z, meta):
             kwargs[f.name] = [
                 z[key + f"__al{i}"]
                 for i in range(meta[key + "__arraylist__"])
+            ]
+        elif key + "__planlist__" in meta:
+            kwargs[f.name] = [
+                _unflatten(key + f"__pl{i}" + _SEP, z, meta)
+                for i in range(meta[key + "__planlist__"])
             ]
         elif key + "__config__" in meta:
             kwargs[f.name] = SpmvConfig(**meta[key + "__config__"])

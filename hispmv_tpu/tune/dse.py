@@ -415,6 +415,30 @@ class DSE:
                     dataclasses.replace(base, rank_sort=True),
                 ))
 
+        # Banded routed (x + y exceed VMEM, soc-Pokec scale): grid of
+        # VMEM-feasible cells, rank-sorted so hubs concentrate top-left
+        # (plan/routed.py build_banded_routed_plan) — the routed format's
+        # y row-tiling answer (spmv-helper.cpp:139-263).
+        if not routed_fits_vmem:
+            from hispmv_tpu.plan.permute import estimate_permute_cost_ns
+            from hispmv_tpu.plan.routed import estimate_banded_routed_ns
+
+            rbd = estimate_banded_routed_ns(
+                coo.rows, coo.cols, coo.shape, rank_sort=True
+            )
+            if rbd["tiles"] and self.model.fits(rbd["stream_bytes"]):
+                t = self.model.routed_seconds(
+                    rbd["est_ns"], rbd["stream_bytes"],
+                    rbd["residual"], R, C,
+                ) + (
+                    estimate_permute_cost_ns(C)
+                    + estimate_permute_cost_ns(R)
+                ) / 1e9
+                cands.append((
+                    "routed-rank", t,
+                    dataclasses.replace(base, rank_sort=True),
+                ))
+
         # Gather stream.
         P = base.num_pes
         thresh = base.split_threshold or derive_split_threshold(nnz, P)

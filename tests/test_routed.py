@@ -301,3 +301,70 @@ def test_segment_terms_single_launch_for_small_streams():
     assert _segment_terms(6, 3000.0) == [4, 2]
     # pow-2 counts stay single-segment either way
     assert _segment_terms(8, 3000.0) == [8]
+
+
+# ---------------------------------------------------------------------------
+# Banded routed plans (x + y exceed VMEM — the soc-Pokec-scale path)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("rank_sort", [False, True])
+def test_banded_routed_numpy_golden(rank_sort):
+    """A matrix too large for routed_vmem_ok builds a cell grid whose
+    golden executor (and perm sandwich) is exact."""
+    from hispmv_tpu.plan.routed import (
+        BandedRoutedPlan,
+        banded_routed_matvec_numpy,
+        build_banded_routed_plan,
+        routed_vmem_ok,
+    )
+
+    R = C = 1_300_000
+    coo = powerlaw_coo(R, C, 120_000, seed=21)
+    assert not routed_vmem_ok(coo.shape)
+    plan = build_banded_routed_plan(coo, rank_sort=rank_sort)
+    assert isinstance(plan, BandedRoutedPlan)
+    assert plan.num_bands == 3 and plan.num_panels == 2
+    assert (plan.col_perms is not None) == rank_sort
+    x = np.random.default_rng(22).standard_normal(C).astype(np.float32)
+    got = banded_routed_matvec_numpy(plan, x)
+    np.testing.assert_allclose(got, golden(coo, x), rtol=1e-3, atol=1e-4)
+
+
+def test_banded_routed_handle_and_roundtrip(tmp_path):
+    """The handle auto-bands oversized routed matrices; interpret-mode
+    execution and the serialize/from_plan roundtrip stay exact."""
+    import dataclasses as _dc
+
+    from hispmv_tpu.api import SpmvHandle
+    from hispmv_tpu.config import SpmvConfig
+    from hispmv_tpu.plan.routed import BandedRoutedPlan
+    from hispmv_tpu.plan.serialize import load_plan, save_plan
+
+    R = C = 1_100_000
+    coo = rmat_coo(2048, 2048, 60_000, seed=23)
+    # stretch the rmat into an oversized index space (keeps planning fast
+    # while forcing the banded path): scatter blocks along the diagonal
+    rows = coo.rows.astype(np.int64) + (coo.cols.astype(np.int64) % 7) \
+        * 150_000
+    cols = coo.cols.astype(np.int64) + (coo.rows.astype(np.int64) % 5) \
+        * 200_000
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    big = COOMatrix((R, C), rows, cols, coo.values)
+    h = SpmvHandle(
+        big, config=SpmvConfig(rank_sort=True), format="routed",
+        interpret=True,
+    )
+    assert isinstance(h._routed_plan_meta, BandedRoutedPlan)
+    x = np.random.default_rng(24).standard_normal(C).astype(np.float32)
+    want = golden(big, x)
+    np.testing.assert_allclose(
+        np.asarray(h.run(x)), want, rtol=1e-3, atol=1e-4
+    )
+    p = str(tmp_path / "banded.npz")
+    save_plan(p, h._routed_plan_meta, compress=False)
+    h2 = SpmvHandle.from_plan(load_plan(p), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(h2.run(x)), want, rtol=1e-3, atol=1e-4
+    )
