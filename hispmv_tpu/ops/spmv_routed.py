@@ -63,14 +63,21 @@ def chunk_for_stream(s: RoutedStream) -> int:
     return 4
 
 
-def _chunk_terms(nch: int, max_terms: int = 4) -> list:
+def _chunk_terms(nch: int, max_terms: int = 4, cap: int = 0) -> list:
     """Binary decomposition of a chunk count into descending powers of two
     (each term = one kernel launch whose pow-2 grid executable is shared
     across matrices).  Capped at ``max_terms``: the remainder is rounded
     UP to one final pow-2 term (at most tchunk-1+2^k padded tiles, where
-    a padded chunk costs about one launch)."""
+    a padded chunk costs about one launch).  ``cap`` bounds any single
+    term (the per-segment scalar-prefetch win/byt/lt arrays live in the
+    1 MiB SMEM — see pack_stream's smem cap); capped full segments repeat
+    and don't count against max_terms."""
     terms = []
     rem = max(nch, 1)
+    if cap:
+        while rem > cap:
+            terms.append(cap)
+            rem -= cap
     while rem and len(terms) < max_terms - 1:
         k = 1 << (rem.bit_length() - 1)
         terms.append(k)
@@ -98,17 +105,19 @@ def stream_array_names(l1p: int) -> tuple:
     )
 
 
-def _segment_terms(nch: int, chunk_cost_ns: float) -> list:
+def _segment_terms(nch: int, chunk_cost_ns: float, cap: int = 0) -> list:
     """Pick the pow-2 segmentation by modeled cost: the binary split
     minimizes padding but pays ~LAUNCH_NS per extra kernel, which
     dominates for small streams (the 20-60 us suite members); a single
     rounded-up pow-2 grid pays padded chunks instead.  Whichever is
     cheaper wins; both keep every grid a power of two for executable
-    reuse."""
+    reuse.  ``cap`` bounds any single segment's chunk count (SMEM)."""
     from hispmv_tpu.plan.routed import LAUNCH_NS
 
-    split = _chunk_terms(nch)
+    split = _chunk_terms(nch, cap=cap)
     single = [_bucket(max(nch, 1))]
+    if cap and single[0] > cap:
+        return split
     cost_split = LAUNCH_NS * len(split) \
         + chunk_cost_ns * (sum(split) - nch)
     cost_single = LAUNCH_NS + chunk_cost_ns * (single[0] - nch)
@@ -140,7 +149,14 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
         chunk_cost = tchunk * (
             TILE_BASE_NS + TILE_L1_NS * (l1p - 1) + TILE_BND_NS * lp
         )
-        terms = _segment_terms(nch, chunk_cost)
+        # Per-segment scalar-prefetch arrays (win[T,l1p], byt[T,lp], lt[T])
+        # live in the 1 MiB SMEM; cap segment size so heavy-layer streams
+        # (32/32 caps at 16k+ tiles) never exceed it (observed: 1.16 MiB
+        # requested incl. register spill slots on the soc-Pokec cells).
+        smem_per_chunk = tchunk * (l1p + lp + 1) * 4
+        cap = (600 * 1024) // max(smem_per_chunk, 1)
+        cap = 1 << max(cap.bit_length() - 1, 0)  # pow-2 floor, >= 1
+        terms = _segment_terms(nch, chunk_cost, cap=cap)
     else:
         terms = [nch]
     nch = sum(terms)
