@@ -78,7 +78,8 @@ def _chunk_terms(nch: int, max_terms: int = 4, cap: int = 0) -> list:
         while rem > cap:
             terms.append(cap)
             rem -= cap
-    while rem and len(terms) < max_terms - 1:
+    nfull = len(terms)  # cap-sized terms don't count against max_terms
+    while rem and len(terms) - nfull < max_terms - 1:
         k = 1 << (rem.bit_length() - 1)
         terms.append(k)
         rem -= k
@@ -149,13 +150,22 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
         chunk_cost = tchunk * (
             TILE_BASE_NS + TILE_L1_NS * (l1p - 1) + TILE_BND_NS * lp
         )
-        # Per-segment scalar-prefetch arrays (win[T,l1p], byt[T,lp], lt[T])
-        # live in the 1 MiB SMEM; cap segment size so heavy-layer streams
-        # (32/32 caps at 16k+ tiles) never exceed it (observed: 1.16 MiB
-        # requested incl. register spill slots on the soc-Pokec cells).
-        smem_per_chunk = tchunk * (l1p + lp + 1) * 4
-        cap = (600 * 1024) // max(smem_per_chunk, 1)
-        cap = 1 << max(cap.bit_length() - 1, 0)  # pow-2 floor, >= 1
+        # Per-segment scalar-prefetch arrays (flat win[T*l1p], byt[T*lp],
+        # lt[T]) live in the 1 MiB SMEM; cap segment size so heavy-layer
+        # streams (32/32 caps at 16k+ tiles) never exceed it (observed:
+        # 1.16 MiB requested incl. register spill slots on the soc-Pokec
+        # cells).  Each 1-D operand is padded to at least one ~512 B SMEM
+        # row, so size the cap against row-padded totals: find the largest
+        # pow-2 segment whose three padded arrays fit the budget.
+        def _smem_bytes(seg_chunks):
+            t = seg_chunks * tchunk
+            return sum(
+                max(t * d * 4, 512) for d in (l1p, lp, 1)
+            )
+
+        cap = 1
+        while _smem_bytes(cap * 2) <= 600 * 1024:
+            cap *= 2
         terms = _segment_terms(nch, chunk_cost, cap=cap)
     else:
         terms = [nch]

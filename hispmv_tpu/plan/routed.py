@@ -1233,10 +1233,17 @@ def estimate_banded_routed_ns(
     rows = rows.astype(np.int64)
     cols = cols.astype(np.int64)
     if rank_sort:
+        # panel-local perms, exactly as build_banded_routed_plan builds
+        # them — a global argsort would model a hub concentration the
+        # built plan cannot achieve
+        from hispmv_tpu.plan.permute import degree_rank_perms
+
         rdeg = np.bincount(rows, minlength=R)
         cdeg = np.bincount(cols, minlength=C)
-        rows = (np.argsort(np.argsort(-rdeg, kind="stable")))[rows]
-        cols = (np.argsort(np.argsort(-cdeg, kind="stable")))[cols]
+        rrank, _ = degree_rank_perms(rdeg)
+        crank, _ = degree_rank_perms(cdeg)
+        rows = rrank[rows]
+        cols = crank[cols]
     nb = -(-R // band_rows)
     npn = -(-C // panel_cols)
     cell_of = (rows // band_rows) * npn + (cols // panel_cols)

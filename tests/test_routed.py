@@ -152,24 +152,29 @@ def test_routed_handle_run_and_linear():
     )
 
 
-@pytest.mark.parametrize("n", [50, 1000])
-def test_routed_handle_with_residual(n):
-    """One nnz per macro cell: every tile costs more than the element
-    scatter, so the whole matrix demotes to the residual (COO scatter for
-    small n, row-granular ELLX for large n) and must still be exact.
-    Column span stays inside routed_vmem_ok's x+y budget (one nnz per
-    1024-col window keeps the one-per-macro-cell property)."""
+@pytest.mark.parametrize("R,n", [(2000, 30), (512, 60)])
+def test_routed_handle_with_residual(R, n):
+    """One nnz per macro cell at every auto strip width (stride 16384 =
+    the widest 16-window strip): every candidate tile costs more than the
+    element scatter, so the whole matrix demotes to the residual and must
+    still be exact.  The (2000, 30) case is small enough for the COO
+    element-scatter residual; (512, 60) crosses the row-granular ELLX
+    threshold (n_res >= ~0.07*R).  Column span stays inside
+    routed_vmem_ok's x+y budget."""
     from hispmv_tpu.api import SpmvHandle
     from hispmv_tpu.formats.matrix import COOMatrix
 
     rng = np.random.default_rng(54)
-    rows = rng.integers(0, 2000, n).astype(np.int64)
-    cols = (np.arange(n, dtype=np.int64) * 1024 + rng.integers(0, 1024, n))
+    rows = rng.integers(0, R, n).astype(np.int64)
+    cols = (np.arange(n, dtype=np.int64) * 16384
+            + rng.integers(0, 1024, n))
     C = int(cols.max()) + 1
-    coo = COOMatrix((2000, C), rows, cols,
+    coo = COOMatrix((R, C), rows, cols,
                     rng.standard_normal(n).astype(np.float32))
     h = SpmvHandle(coo, format="routed")
+    # serving-path contract: everything demoted to a residual executor
     assert h._routed_residual is not None or h._routed_residual_coo
+    assert h._routed_plan_meta.num_tiles == 0
     x = np.random.default_rng(55).standard_normal(C).astype(np.float32)
     np.testing.assert_allclose(
         np.asarray(h.run(x)), golden(coo, x), rtol=1e-3, atol=1e-3
