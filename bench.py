@@ -97,6 +97,28 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _code_tag() -> str:
+    """8-hex tag of the plan/kernel sources that define stream layouts;
+    keys the plan and serialized-executable caches."""
+    import hashlib
+
+    h = hashlib.sha1()
+    root = os.path.dirname(os.path.abspath(__file__))
+    for rel in (
+        "hispmv_tpu/plan/routed.py",
+        "hispmv_tpu/ops/spmv_routed.py",
+        "hispmv_tpu/ops/spmv_chunked.py",
+        "hispmv_tpu/ops/spmv_ellx.py",
+        "hispmv_tpu/ops/spmv_windowed.py",
+        "hispmv_tpu/ops/spmv_block.py",
+        "hispmv_tpu/ops/permute.py",
+        "hispmv_tpu/api/handle.py",
+    ):
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
 def bench_matrix(name: str, scale: float) -> dict:
     import jax.numpy as jnp
 
@@ -127,10 +149,13 @@ def bench_matrix(name: str, scale: float) -> dict:
     from hispmv_tpu.plan.serialize import load_plan, save_plan
 
     rs_tag = "-rs" if getattr(res.config, "rank_sort", False) else ""
-    # v5: routed v3 zero-lane streams (plan cache schema change)
+    # Cache tag derived from the planner+kernel SOURCE hash: any change to
+    # the stream layout or kernel code automatically invalidates both the
+    # plan cache and the serialized-executable cache (a hand-bumped
+    # version string silently resurrected stale kernels once).
     cfg_tag0 = (
-        f"v5-{res.format}-bh{res.config.block_h}-{res.config.value_dtype}"
-        f"{rs_tag}"
+        f"{_code_tag()}-{res.format}-bh{res.config.block_h}"
+        f"-{res.config.value_dtype}{rs_tag}"
     )
     os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
     plan_cache = f"/tmp/hispmv_plan_cache/{name}-{scale}-{cfg_tag0}.npz"
@@ -156,6 +181,16 @@ def bench_matrix(name: str, scale: float) -> dict:
 
     x = np.random.default_rng(0).standard_normal(coo.num_cols)
     x = x.astype(np.float32)
+    # Timed CPU baseline column (reference: cpu/src/main.cpp:26-49 prints
+    # its MKL GFLOPS; here scipy CSR, the environment's best CPU SpMV).
+    csr = coo.to_scipy().tocsr()
+    csr @ x  # warm
+    reps = max(1, int(2e7 / max(coo.nnz, 1)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        csr @ x
+    cpu_t = (time.perf_counter() - t0) / reps
+    cpu_gflops = 2 * (coo.nnz + coo.num_rows) / cpu_t / 1e9
     # One compiled executable serves both verification (the n=1 warm-up's
     # captured y) and the loop-slope timing; the executable is serialized to
     # disk so later runs (and the driver's) skip the backend compile.
@@ -177,7 +212,7 @@ def bench_matrix(name: str, scale: float) -> dict:
     gflops = 2 * (coo.nnz + coo.num_rows) / t / 1e9
     log(
         f"[{name}] t={t*1e6:.0f}us {gflops:.1f} GFLOP/s verified={stats.ok} "
-        f"(reference U280: {U280_GFLOPS[name]})"
+        f"(reference U280: {U280_GFLOPS[name]}; cpu {cpu_gflops:.2f})"
     )
     return {
         "name": name,
@@ -186,6 +221,7 @@ def bench_matrix(name: str, scale: float) -> dict:
         "format": handle.format,
         "seconds": t,
         "gflops": gflops,
+        "cpu_gflops": round(cpu_gflops, 3),
         "verify_ok": bool(stats.ok),
         "ref_gflops": U280_GFLOPS[name],
     }
@@ -226,6 +262,9 @@ def emit(results, cases=None):
         "per_matrix": {
             r["name"]: [round(r["gflops"], 2), r["ref_gflops"]]
             for r in results
+        },
+        "cpu_gflops": {
+            r["name"]: r.get("cpu_gflops", None) for r in results
         },
         "skipped": [n for n, _ in cases if n not in done][:20],
     }

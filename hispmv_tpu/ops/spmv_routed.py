@@ -1,19 +1,21 @@
-"""Routed-stream Pallas kernel: per-nnz vectorized SpMV.
+"""Routed-stream Pallas kernel: per-nnz vectorized SpMV (v4 layout).
 
 Executes plan/routed.py streams.  Per (8,128) tile of 1024 nnz slots (all
 vector ops, zero per-nnz scalar work):
 
-1. x gather: per pass-1 layer, one sublane take_along_axis composed with
-   one lane take_along_axis from THE LAYER'S OWN (8,128) x window
-   (``win[t, l]``) — a tile may source from up to ``l1`` windows, which
-   is what lets scattered matrices pack into dense tiles;
+1. x gather: layer 0 is a SLAB select tree over the tile's W-window span
+   (one in-vreg sublane gather + select per window, ~0.9 ns each) fed by
+   the 9-bit (win<<3|sub) field each (row, source-lane) cell carries;
+   cell conflicts ride up to 7 overflow layers (one window per
+   tile-layer from a scalar table + a 3-bit sub field, ~6.4 ns each).
+   One lane take_along_axis completes the two-level gather per layer; a
+   3-bit per-slot rank selects the slot's layer.
 2. products -> flattened prefix sum: lane prefix via an upper-triangular
-   ones matmul (MXU) + sublane carry via a strict-lower block matmul;
+   ones matmul (MXU) + sublane carry via a strict-lower block matmul.
 3. per boundary layer, run sums P'[end] - P'[start-1] are pulled by two
-   more composed gathers (lanes + validity packed two layers per i32
-   word, subs four layers per word) and accumulated into THE LAYER'S OWN
-   y tile (``byt[t, k]``) — a tile may scatter into up to ``lmax`` row
-   bands.
+   composed gathers (lanes packed two layers per i32 word, subs four per
+   word, no validity bits) and accumulated into THE LAYER'S OWN y tile
+   (``byt[t, k]``).
 
 x and y are VMEM-resident; the stream (values + routing bitfields) is
 consumed in chunks by the Pallas grid pipeline.  This is the closest TPU
@@ -21,11 +23,10 @@ analog of the reference's per-nnz dataflow: the butterfly crossbar and
 out-of-order scheduler become plan-time routing arrays
 (base_functions.cpp:356-436, spmv-helper.cpp:429-515).
 
-Measured (v5e, loop-slope, v3 calibration 2026-08-18, effective
-constants incl. each layer's stream-DMA share): ~30 ns per tile +
-~6.4 ns per pass-1 layer + ~17.9 ns per boundary layer (every class-cap
-layer runs; padded layers add exact zeros — a boundary layer is ~16
-vector ops on (8,128) vregs, i.e. ALU-issue-bound).
+Measured (v5e, loop-slope, v4 calibration 2026-08-19, effective constants
+incl. stream DMA): ~53 ns per tile + ~0.95 ns per window of span + ~2.2
+ns per overflow layer + ~10.8 ns per boundary layer (every class-cap
+layer runs; padded layers read the reserved zero slot and add zeros).
 """
 
 from __future__ import annotations
@@ -54,13 +55,14 @@ def _bucket(n: int) -> int:
 
 
 def chunk_for_stream(s: RoutedStream) -> int:
-    """Tiles per grid step: smaller chunks for heavy-layer streams keep
-    the double-buffered stream window inside VMEM."""
-    if s.lmax <= 8:
+    """Tiles per grid step: bigger chunks amortize the per-chunk prefix
+    matmuls (measured: 49 vs 67 ns/tile at lmax=1); smaller chunks for
+    heavy-layer streams keep the double-buffered stream window in VMEM."""
+    if s.lmax <= 4:
+        return 32
+    if s.lmax <= 16:
         return DEFAULT_TCHUNK
-    if s.lmax <= 32:
-        return 8
-    return 4
+    return 8
 
 
 def _chunk_terms(nch: int, max_terms: int = 4, cap: int = 0) -> list:
@@ -69,9 +71,9 @@ def _chunk_terms(nch: int, max_terms: int = 4, cap: int = 0) -> list:
     across matrices).  Capped at ``max_terms``: the remainder is rounded
     UP to one final pow-2 term (at most tchunk-1+2^k padded tiles, where
     a padded chunk costs about one launch).  ``cap`` bounds any single
-    term (the per-segment scalar-prefetch win/byt/lt arrays live in the
-    1 MiB SMEM — see pack_stream's smem cap); capped full segments repeat
-    and don't count against max_terms."""
+    term (the per-segment scalar-prefetch base/win/byt/lt arrays live in
+    the 1 MiB SMEM — see pack_stream's smem cap); capped full segments
+    repeat and don't count against max_terms."""
     terms = []
     rem = max(nch, 1)
     if cap:
@@ -88,22 +90,12 @@ def _chunk_terms(nch: int, max_terms: int = 4, cap: int = 0) -> list:
     return terms
 
 
-def word_counts(l1p: int) -> tuple:
-    """(lane words, sub words) the packed stream carries for ``l1p``
-    pass-1 layers: 4 layers per lane word, 8 per sub word."""
-    return -(-l1p // 4), -(-l1p // 8)
-
-
-def stream_array_names(l1p: int) -> tuple:
+def stream_array_names(wmax: int = 0) -> tuple:
     """Device-dict key names for one packed stream segment's data arrays,
-    in ``pack_stream`` order (without the win/byt/lt prefetch tables)."""
-    nlw, nsw = word_counts(l1p)
-    return (
-        ("vals",)
-        + tuple(f"route{i + 1}" if i else "route" for i in range(nlw))
-        + tuple(f"rsub{i + 1}" if i else "rsub" for i in range(nsw))
-        + ("bl", "bs")
-    )
+    in ``pack_stream`` order (without the base/win/byt/lt prefetch
+    tables).  The v4 layout is dimension-independent; the argument is
+    kept for call-site compatibility."""
+    return ("vals", "slot", "gsub", "bl", "bs")
 
 
 def _segment_terms(nch: int, chunk_cost_ns: float, cap: int = 0) -> list:
@@ -133,34 +125,35 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     kernel executes padded tiles at full cost, so rounding the whole
     stream up to a pow-2 grid would waste up to 2x).
 
-    Returns a list of ((vals, *route_words, *rsub_words, bl, bs, win,
-    byt, lt), dims) segments with dims (nch, tchunk, l1p, lp); the word
-    counts follow from l1p (``word_counts``).  Layer dims are bucketed to
-    powers of two (``bucket=False`` disables all bucketing and returns
-    one exact-size segment)."""
+    Returns a list of ((vals, slot, gsub, bl, bs, base, win, byt, lt),
+    dims) segments with dims (nch, tchunk, W, l1, lp).  W, l1 and lp are
+    bucketed to powers of two (``bucket=False`` disables all bucketing
+    and returns one exact-size segment)."""
     tchunk = tchunk or chunk_for_stream(s)
     T = s.num_tiles
     nch = max(-(-T // tchunk), 1)
-    l1p = s.l1 if not bucket else _bucket(s.l1)
+    W = s.wmax if not bucket else _bucket(s.wmax)
+    l1 = s.l1 if not bucket else _bucket(s.l1)
     lp = s.lmax if not bucket else _bucket(s.lmax)
+    nov = max(l1 - 1, 0)
     if bucket:
         from hispmv_tpu.plan.routed import (
-            TILE_BASE_NS, TILE_BND_NS, TILE_L1_NS)
+            TILE_BASE_NS, TILE_BND_NS, TILE_OV_NS, TILE_W_NS)
 
         chunk_cost = tchunk * (
-            TILE_BASE_NS + TILE_L1_NS * (l1p - 1) + TILE_BND_NS * lp
+            TILE_BASE_NS + TILE_W_NS * (W - 1) + TILE_OV_NS * nov
+            + TILE_BND_NS * lp
         )
-        # Per-segment scalar-prefetch arrays (flat win[T*l1p], byt[T*lp],
-        # lt[T]) live in the 1 MiB SMEM; cap segment size so heavy-layer
-        # streams (32/32 caps at 16k+ tiles) never exceed it (observed:
-        # 1.16 MiB requested incl. register spill slots on the soc-Pokec
-        # cells).  Each 1-D operand is padded to at least one ~512 B SMEM
-        # row, so size the cap against row-padded totals: find the largest
-        # pow-2 segment whose three padded arrays fit the budget.
+        # Per-segment scalar-prefetch arrays (flat base[T], win[T*nov],
+        # byt[T*lp], lt[T]) live in the 1 MiB SMEM; cap segment size so
+        # heavy-layer streams never exceed it.  Each 1-D operand is
+        # padded to at least one ~512 B SMEM row, so size the cap against
+        # row-padded totals: the largest pow-2 segment whose padded
+        # arrays fit the budget.
         def _smem_bytes(seg_chunks):
             t = seg_chunks * tchunk
             return sum(
-                max(t * d * 4, 512) for d in (l1p, lp, 1)
+                max(t * d * 4, 512) for d in (1, nov, lp, 1)
             )
 
         cap = 1
@@ -176,40 +169,37 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
 
     vals = np.zeros((Tp, 8, LANES), np.float32)
     vals[:T] = s.vals
-    nlw, nsw = word_counts(l1p)
-    route_ws = []
-    for wi, src in zip(range(nlw), list(s.route_words) + [None] * 8):
-        a = np.zeros((Tp, 8, LANES), np.int32)
-        if src is not None:
-            a[:T] = src
-        route_ws.append(a)
-    rsub_ws = []
-    for wi, src in zip(range(nsw), list(s.rsub_words) + [None] * 4):
-        a = np.zeros((Tp, 8, LANES), np.int32)
-        if src is not None:
-            a[:T] = src
-        rsub_ws.append(a)
+    slot = np.zeros((Tp, 8, LANES), np.int32)
+    slot[:T] = s.slot
+    gsub = np.zeros((Tp, 8, LANES), np.int32)
+    gsub[:T] = s.gsub
     bl = np.zeros((Tp, npair, 8, LANES), np.int32)
     bl[:T, : s.bl.shape[1]] = s.bl
     bs = np.zeros((Tp, nquad, 8, LANES), np.int32)
     bs[:T, : s.bs.shape[1]] = s.bs
-    win = np.zeros((Tp, l1p), np.int32)
-    win[:T, : s.win.shape[1]] = s.win
+    base = np.zeros(Tp, np.int32)
+    base[:T] = s.base
+    # nov == 0 still ships one zero column: Mosaic rejects s32[0] scalar
+    # prefetch operands (the kernel never reads it)
+    win = np.zeros((Tp, max(nov, 1)), np.int32)
+    if nov:
+        win[:T, : s.win.shape[1]] = s.win[:, :nov]
     byt = np.zeros((Tp, lp), np.int32)
     byt[:T, : s.byt.shape[1]] = s.byt
-    lt = np.zeros(Tp, np.int32)  # padding tiles: 0 layers -> all skipped
+    lt = np.zeros(Tp, np.int32)  # padding tiles: 0 layers (diagnostics)
     lt[:T] = s.lt
 
-    full = [vals.reshape(nch, tchunk * 8, LANES)]
-    full += [a.reshape(nch, tchunk * 8, LANES) for a in route_ws]
-    full += [a.reshape(nch, tchunk * 8, LANES) for a in rsub_ws]
-    full += [
+    full = [
+        vals.reshape(nch, tchunk * 8, LANES),
+        slot.reshape(nch, tchunk * 8, LANES),
+        gsub.reshape(nch, tchunk * 8, LANES),
         bl.reshape(nch, tchunk * npair * 8, LANES),
         bs.reshape(nch, tchunk * nquad * 8, LANES),
         # scalar-prefetch tables FLATTENED to 1-D: SMEM pads 2-D operands
         # per ROW (~512 B), so [T, 1] tables would cost T*512 B and blow
         # the 1 MiB SMEM budget at a few thousand tiles
-        win.reshape(nch, tchunk * l1p),
+        base.reshape(nch, tchunk),
+        win.reshape(nch, tchunk * max(nov, 1)),
         byt.reshape(nch, tchunk * lp),
         lt.reshape(nch, tchunk),
     ]
@@ -223,7 +213,7 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
             else np.ascontiguousarray(a[off : off + term]).reshape(-1)
             for a in full
         )
-        segments.append((seg, (term, tchunk, l1p, lp)))
+        segments.append((seg, (term, tchunk, W, l1, lp)))
         off += term
     return segments
 
@@ -233,20 +223,20 @@ def _srl(x, n):
 
 
 def _routed_kernel(
-    win_ref,  # i32 [Tp*l1] scalar prefetch: x window per pass-1 layer
+    base_ref,  # i32 [Tp] scalar prefetch: window base per tile
+    win_ref,  # i32 [Tp*(l1-1)] scalar prefetch: window per overflow layer
     byt_ref,  # i32 [Tp*lp] scalar prefetch: y tile per boundary layer
     lt_ref,  # i32 [Tp] actual layers/tile — kept in the prefetch layout
-    # for diagnostics/serialization but UNUSED here (see phase C note)
+    # for diagnostics/serialization but UNUSED here (padded layers read
+    # the reserved zero slot and add exact zeros; predication was
+    # measured ~10x slower per executed layer)
     *refs,
     tchunk: int,
+    W: int,
     l1: int,
     lmax: int,
 ):
-    nlw, nsw = word_counts(l1)
-    vals_ref = refs[0]
-    route_refs = refs[1 : 1 + nlw]
-    rsub_refs = refs[1 + nlw : 1 + nlw + nsw]
-    bl_ref, bs_ref, x_ref, y_ref = refs[1 + nlw + nsw :]
+    vals_ref, slot_ref, gsub_ref, bl_ref, bs_ref, x_ref, y_ref = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -256,6 +246,7 @@ def _routed_kernel(
     M = tchunk * 8
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
+    nov = max(l1 - 1, 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     upper = (iota_l <= iota_c).astype(jnp.float32)
@@ -267,18 +258,29 @@ def _routed_kernel(
 
     # ---- phase A: all products of the chunk (static unroll) -------------
     def products(j):
-        rws = [r[0, j * 8 : (j + 1) * 8, :] for r in route_refs]
-        sws = [r[0, j * 8 : (j + 1) * 8, :] for r in rsub_refs]
+        slot = slot_ref[0, j * 8 : (j + 1) * 8, :]
+        gsub = gsub_ref[0, j * 8 : (j + 1) * 8, :]
         vals = vals_ref[0, j * 8 : (j + 1) * 8, :]
-        rank = _srl(rws[0], 28) & 15
-        if l1 > 16:  # rank bit 4 lives in word 1 bit 28
-            rank = rank | (_srl(rws[1], 24) & 16)
-        xg = jnp.zeros((8, LANES), jnp.float32)
-        for l in range(l1):
-            w = win_ref[(i * tchunk + j) * l1 + l]
+        lane = slot & 127
+        rank = _srl(slot, 7) & 7
+        base = base_ref[i * tchunk + j]
+        # layer 0: slab select tree over the window span
+        gs = gsub & 511
+        sub0 = gs & 7
+        vid = _srl(gs, 3)
+        acc = jnp.zeros((8, LANES), jnp.float32)
+        for v in range(W):
+            win8 = x_ref[pl.ds((base + v) * 8, 8), :]
+            g = jnp.take_along_axis(win8, sub0, axis=0)
+            acc = jnp.where(vid == v, g, acc) if W > 1 else g
+        xg = jnp.take_along_axis(acc, lane, axis=1)
+        if l1 > 1:
+            xg = jnp.where(rank == 0, xg, 0.0)
+        # overflow layers: one window per tile-layer + 3-bit sub field
+        for l in range(1, l1):
+            w = win_ref[(i * tchunk + j) * nov + (l - 1)]
             win8 = x_ref[pl.ds(w * 8, 8), :]
-            lane = _srl(rws[l // 4], 7 * (l % 4)) & 127
-            sub = _srl(sws[l // 8], 3 * (l % 8)) & 7
+            sub = _srl(gsub, 9 + 3 * (l - 1)) & 7
             t1 = jnp.take_along_axis(win8, sub, axis=0)
             g = jnp.take_along_axis(t1, lane, axis=1)
             xg = jnp.where(rank == l, g, xg)
@@ -302,16 +304,14 @@ def _routed_kernel(
     )
     pf_all = incl + carry  # (M, 128)
 
-    # ---- phase C: boundary extraction + per-layer y accumulation --------
+    # ---- phase C: segmented subtract + single-side boundary extraction --
     # ALL lmax layers run unconditionally: layers beyond a tile's actual
-    # count carry zero valid bits, so their ga/gb are exact zeros and the
-    # y add is a no-op (on y tile 0).  Predicating each layer with
-    # @pl.when(k < lt[t]) was measured (v5e, 2026-08-17 dissection) at
-    # ~100 ns per EXECUTED layer vs ~9.4 ns unconditional — each branch
-    # region serializes the VMEM read-modify-write pipeline.  The class
-    # split (plan/routed.py) bounds the padding this trades for.
-    # v3: no validity bits — padded/absent sides carry (sub, lane) = (0, 0)
-    # and read the reserved zero slot (P'[0] == 0 by plan construction)
+    # count carry 0 pointers and read P_seg[0,0] == 0 (the reserved zero
+    # slot guarantees P'[0,0] == 0 and slot (0,0)'s run starts at the
+    # tile start).  Predicating each layer with @pl.when was measured
+    # (v5e, 2026-08-17 dissection) ~10x slower per executed layer — each
+    # branch region serializes the VMEM read-modify-write pipeline.  The
+    # class split (plan/routed.py) bounds the padding this trades for.
     for j in range(tchunk):
         pf = pf_all[j * 8 : (j + 1) * 8, :]
         for k in range(lmax):
@@ -334,47 +334,46 @@ def _routed_kernel(
 
 def spmv_routed_stream_pallas(
     packed,  # arrays from pack_stream (without the dims tuple)
-    dims,  # (nch, tchunk, l1p, lp)
+    dims,  # (nch, tchunk, W, l1, lp)
     x2d: jax.Array,  # f32 [nwin*8, 128]
     num_ytiles: int,
     *,
     interpret: bool = False,
 ) -> jax.Array:
     """Run one routed stream; returns y f32 [nyt*8, 128]."""
-    nch, tchunk, l1, lmax = dims
-    nlw, nsw = word_counts(l1)
-    data = tuple(packed[: 1 + nlw + nsw + 2])
-    win, byt, lt = packed[1 + nlw + nsw + 2 :]
-    bl, bs = data[-2], data[-1]
+    nch, tchunk, W, l1, lmax = dims
+    vals, slot, gsub, bl, bs, base, win, byt, lt = packed
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
 
     def spec(rows):
         return pl.BlockSpec(
             (1, rows, LANES),
-            lambda i, w, b, t: (i, 0, 0),
+            lambda i, b, w, t, lt_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    r1 = tchunk * 8
-    in_specs = [spec(r1)] * (1 + nlw + nsw) + [
+    in_specs = [
+        spec(tchunk * 8), spec(tchunk * 8), spec(tchunk * 8),
         spec(tchunk * npair * 8), spec(tchunk * nquad * 8),
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(nch,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (num_ytiles * 8, LANES),
-            lambda i, w, b, t: (0, 0),
+            lambda i, b, w, t, lt_: (0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
     kernel = functools.partial(
-        _routed_kernel, tchunk=tchunk, l1=l1, lmax=lmax,
+        _routed_kernel, tchunk=tchunk, W=W, l1=l1, lmax=lmax,
     )
-    nbytes = sum(int(a.size) * a.dtype.itemsize for a in data)
+    nbytes = int(
+        vals.size + slot.size + gsub.size + bl.size + bs.size
+    ) * 4
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -383,8 +382,8 @@ def spmv_routed_stream_pallas(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * data[0].size,
+            flops=4 * int(vals.size),
             bytes_accessed=nbytes + x2d.size * 4,
             transcendentals=0,
         ),
-    )(win, byt, lt, *data, x2d)
+    )(base, win, byt, lt, vals, slot, gsub, bl, bs, x2d)

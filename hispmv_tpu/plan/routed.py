@@ -1,7 +1,7 @@
 """Routed-stream planner: per-nnz vectorized SpMV with plan-time routing.
 
-THE load-balance/crossbar answer for scattered matrices (round 2, upgraded
-in-round).  Every other format pays either ~4 KiB of payload per touched
+THE load-balance/crossbar answer for scattered matrices (v4 layout, round
+3).  Every other format pays either ~4 KiB of payload per touched
 (block, window) unit or ~1.8 ns per gathered unit — both collapse when
 units ~= nnz.  This format processes nnz at VECTOR rate by resolving ALL
 routing at plan time (the role the reference's butterfly crossbar +
@@ -9,61 +9,57 @@ out-of-order scheduler play in hardware, base_functions.cpp:356-436 +
 spmv-helper.cpp:429-515):
 
 - nnz are sorted by (column strip, row, col) where a STRIP is
-  ``strip_windows`` consecutive 1024-column windows (auto-picked from
-  {2, 4, 8, 16} by the cheap cost estimate: wider strips raise nnz per
-  (window, band) cell, cutting boundary layers per tile at the price of
-  pass-1 window layers), and packed densely into (8,128) tiles of 1024
-  SLOTS.  A tile may gather from up to ``l1`` (<= 32) different x windows
-  (each pass-1 LAYER carries its own window id) and scatter boundary sums
-  into up to ``lmax`` (<= 32) different y tiles (each pass-3 layer
-  carries its own y-tile id).  Scattered matrices whose (band, window)
-  cells hold only tens of nonzeros — the power-law / circuit / NLP
-  classes that would otherwise fall to the 16 ns/nnz element-scatter
-  residual — pack at high fill.
-- v3 zero-lane layout: the 8 lane-0 slots of every tile are reserved
-  zero pads (values 0, rows/cols forward-filled from the lane-1
-  neighbor).  No run ever starts right after or ends on a lane-0 slot,
-  so no boundary entry's source sits at lane 0, so the (sub, lane) =
-  (0, 0) read is guaranteed to see sub-field 0 and the in-tile prefix
-  P'[0, 0] == 0.  Boundary words therefore carry NO validity bits: a
-  padded/absent boundary side reads an exact 0 instead of being masked,
-  which removes ~8 vector ops per boundary layer per tile — the dominant
-  cost on scattered matrices.
-- pass 1 (x gather): slot (s,j) reads x[win_l*1024 + sub*128 + lane] via
-  the two supported in-tile gathers — a sublane take_along_axis composed
-  with a lane take_along_axis from layer l's window slice.  The planner
-  guarantees the composition is consistent per layer (per payload row and
-  source lane, one distinct source sublane); layer = window chain base +
-  conflict rank.  Ranks beyond the layer budget are evicted to a COO
-  residual.
+  ``strip_windows`` consecutive 1024-column windows, and packed densely
+  into (8,128) tiles of 1024 SLOTS.
+- pass 1 (x gather): a composed two-level gather consults the sub grid
+  at (target sublane, SOURCE lane), so per (row, source-lane) CELL only
+  one (window, sub) source can be served per gather layer — the
+  fundamental constraint the reference's crossbar resolves in hardware.
+  v4 resolves it hybrid: LAYER 0 is a "slab" select tree over the tile's
+  whole window span W (each cell's first (win<<3|sub) source rides a
+  9-bit field; one in-vreg sublane gather + select per window, measured
+  ~0.9 ns/window/tile) and serves the vast majority of slots in one
+  pass; cell CONFLICTS (second+ distinct (win,sub) on one cell, rare)
+  ride up to 7 v3-style OVERFLOW layers — per layer one window (scalar
+  table) and a 3-bit sub field.  Slots carry a 3-bit rank selecting
+  their layer.
 - pass 2 (segmented reduce): products are prefix-summed over the flat
   tile order (lane prefix via a triangular MXU matmul + sublane carry),
   and each row-run's sum is extracted as P'[end] - P'[start-1].
 - pass 3 (y accumulate): boundary values are routed into y tiles by
   per-layer (8,128) two-level gathers, signed (+end / -start); layer =
-  band chain base + conflict rank, each layer accumulating into its own
-  y tile.  A row spanning several tiles simply accumulates partials.
+  band chain base + conflict rank (per target sublane and source lane,
+  one distinct source sublane per layer), each layer accumulating into
+  its own y tile.  A row spanning several tiles accumulates partials.
+
+v4 zero-lane layout (kept from v3): the 8 lane-0 slots of every tile are
+reserved zero pads (values 0, coordinates forward-filled from the lane-1
+neighbor).  No run ever starts right after or ends on a lane-0 slot, so
+no boundary entry's source sits at lane 0, so the (sub, lane) = (0, 0)
+read is guaranteed to see sub-field 0 and the in-tile prefix P'[0, 0]
+== 0.  Boundary words therefore carry NO validity bits: a padded/absent
+boundary side reads an exact 0 instead of being masked.
 
 Tiles whose modeled cost exceeds the element-scatter residual cost are
 demoted to the residual wholesale.  Remaining tiles are partitioned into
-up to ``max_streams`` cost classes (layer counts bucketed per class) so
-light tiles are not charged the heavy tiles' padded layers; each class is
-an independently executable stream.
+up to ``max_streams`` cost classes by (window span, boundary layers) so
+light tiles are not charged the heavy tiles' padded dimensions; each
+class is an independently executable stream.
 
 Streams are stored COMPRESSED (the stream is the cost):
 
-- ``vals``   f32 [T,8,128]: the slot's value;
-- ``routes`` list of i32 [T,8,128]: lane_l << (7*(l%4)) in word l//4;
-  word 0 also carries the slot's layer (rank) bits 0-3 in bits 28-31 and
-  word 1 carries rank bit 4 in bit 28 (ranks reach 31 at L1_CAP=32);
-- ``rsubs``  list of i32 [T,8,128] per SOURCE lane: sub_l << (3*(l%8))
-  in word l//8;
-- ``bl``     i32 [T,ceil(L/2),8,128]: boundary lanes, two layers per
-  word — (a_lane | b_lane<<7) << (14*(k%2)), NO validity bits;
-- ``bs``     i32 [T,ceil(L/4),8,128] per source lane: four layers per
-  word — (a_sub | b_sub<<4) << (8*(k%4));
-- ``win``    i32 [T,l1]: x window per pass-1 layer;
-- ``byt``    i32 [T,L]: y tile per boundary layer.
+- ``vals``  f32 [T,8,128]: the slot's value;
+- ``slot``  i32 [T,8,128] at SLOT positions: lane | rank<<7;
+- ``gsub``  i32 [T,8,128] at (row, SOURCE-lane) cell positions: the
+  rank-0 source (win_local<<3 | sub) in bits 0-8, plus one 3-bit sub per
+  overflow layer at bits 9+3*(l-1);
+- ``bl``    i32 [T,ceil(L/2),8,128]: boundary lanes, two layers per
+  word — (end_lane | start_lane<<7) << (14*(k%2)), NO validity bits;
+- ``bs``    i32 [T,ceil(L/4),8,128]: boundary subs, four layers per
+  word — (end_sub | start_sub<<4) << (8*(k%4));
+- ``base``  i32 [T]: the tile's window base (slab layer);
+- ``win``   i32 [T,l1-1]: window per overflow layer;
+- ``byt``   i32 [T,L]: y tile per boundary layer.
 """
 
 from __future__ import annotations
@@ -78,77 +74,55 @@ from hispmv_tpu.formats.matrix import COOMatrix
 WINDOW = 1024  # columns per window = one (8,128) x tile
 TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 
-# Measured per-tile cost constants (v5e, loop-slope, 2026-08-18 v3
-# calibration over controlled (l1, lmax) synthetic streams), used for the
-# tile-vs-residual demotion rule and stream classing.  These are
-# EFFECTIVE linear constants: each layer's share of stream DMA (4 KiB
-# per word per tile at ~794 GB/s — lane/sub words follow l1, bl/bs words
-# follow lmax) is folded into its per-layer coefficient, which is why
-# TILE_BND_NS exceeds its pure-compute ~14 ns (16 vector ops).  Fit
-# residual is ~±15% across the calibration grid.  Every class-cap layer
-# executes (padded layers add exact zeros), so a tile is charged its
-# CLASS's lmax, not its own layer count — which is what the class split
-# bounds.
-TILE_BASE_NS = 30.0
-TILE_L1_NS = 6.4
-TILE_BND_NS = 17.9
+# Measured per-tile cost constants (v5e, loop-slope, 2026-08-19 v4
+# calibration over controlled (W, lmax) synthetic streams).  These are
+# EFFECTIVE linear constants: each dimension's share of stream DMA is
+# folded into its coefficient.  Every class-cap boundary layer executes
+# (padded layers add exact zeros), so a tile is charged its CLASS's lmax;
+# the select tree is unrolled to the CLASS's W.
+TILE_BASE_NS = 53.0
+TILE_W_NS = 0.95  # per window of the tile's span beyond the first
+TILE_OV_NS = 2.2  # per pass-1 overflow (conflict) layer
+TILE_BND_NS = 10.8  # per boundary layer (two-sided, validity-free)
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
-
-L1_CAP = 32  # pass-1 layers (window chains + conflict ranks)
+W_CAP = 64  # max window span per tile (6 bits in the gsub field)
+L1_CAP = 8  # pass-1 layers: 1 slab + up to 7 overflow (rank is 3 bits)
 L_CAP = 32  # boundary layers (band chains + conflict ranks)
 LAUNCH_NS = 3000.0  # per-stream kernel dispatch cost
-# v3: all lane-0 slots (8 per tile) are reserved zero pads, so no boundary
-# entry's source (end / start-1) ever sits at lane 0 — the (sub, lane) =
-# (0, 0) read is then guaranteed to see sub-field 0 and P'[0, 0] == 0,
-# which is what lets bl/bs drop their validity bits entirely (an entry's
-# a and b sides may live in different conflict layers; the absent side
-# reads an exact 0 instead of being masked).
+# the 8 lane-0 slots of every tile are reserved zero pads (see module
+# docstring: P'[0,0] == 0 is what removes all validity bits)
 PAYLOAD = TILE - 8  # 8 sublane rows x 127 payload lanes
 
 
 @dataclasses.dataclass
 class RoutedStream:
-    """One cost class of tiles, fully compressed (see module docstring).
-
-    v3 layout: slot 0 of every tile is a reserved zero (value 0, extends
-    the first run), so the in-tile prefix P'[0] == 0 and boundary entries
-    need NO validity bits — an absent/padded boundary layer entry reads
-    P'[0]-P'[0] = 0 and a run starting the tile reads P'[end]-P'[0]."""
+    """One cost class of tiles, fully compressed (see module docstring)."""
 
     num_tiles: int
-    l1: int  # pass-1 layers this stream's kernel unrolls
+    wmax: int  # window span the slab select tree unrolls
+    l1: int  # pass-1 layers (1 slab + overflow) this kernel unrolls
     lmax: int  # boundary layers this stream's kernel unrolls
     vals: np.ndarray  # f32 [T, 8, 128]
-    routes: list  # i32 [T, 8, 128] lane words: layer l at bits 7*(l%4) of
-    # word l//4; word 0 also carries rank bits 28-31, word 1 (when
-    # present) carries rank bit 4 at bit 28
-    rsubs: list  # i32 [T, 8, 128] sub words: layer l at bits 3*(l%8)
-    win: np.ndarray  # i32 [T, l1]
+    slot: np.ndarray  # i32 [T, 8, 128] at slot positions: lane | rank<<7
+    gsub: np.ndarray  # i32 [T, 8, 128] at (row, source-lane) cells:
+    # rank-0 (win_local<<3 | sub) bits 0-8; overflow sub at 9+3*(l-1)
     bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]: boundary lanes, two
-    # layers per word — (a_lane | b_lane<<7) << (14*(k%2)), no valid bits
+    # layers per word — (end_lane | start_lane<<7) << (14*(k%2))
     bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]: boundary subs, four
-    # layers per word — (a_sub | b_sub<<4) << (8*(k%4))
-    byt: np.ndarray  # i32 [T, lmax]
+    # layers per word — (end_sub | start_sub<<4) << (8*(k%4))
+    base: np.ndarray  # i32 [T]: window base per tile (slab layer)
+    win: np.ndarray  # i32 [T, max(l1-1, 0)]: window per overflow layer
+    byt: np.ndarray  # i32 [T, lmax]: y tile per boundary layer
     lt: np.ndarray  # i32 [T]: ACTUAL boundary layers per tile (kept for
     # diagnostics/cost analysis; the kernel runs every class-cap layer —
     # padded layers read the zero slot and add exact zeros)
 
     @property
-    def route_words(self) -> tuple:
-        """Lane-bitfield words in layer order (1 per 4 pass-1 layers)."""
-        return tuple(self.routes)
-
-    @property
-    def rsub_words(self) -> tuple:
-        """Sub-bitfield words in layer order (1 per 8 pass-1 layers)."""
-        return tuple(self.rsubs)
-
-    @property
     def stream_bytes(self) -> int:
-        n = self.vals.nbytes + self.bl.nbytes + self.bs.nbytes
-        for w in self.route_words + self.rsub_words:
-            n += w.nbytes
-        return n
+        return (
+            self.vals.nbytes + self.slot.nbytes + self.gsub.nbytes
+            + self.bl.nbytes + self.bs.nbytes
+        )
 
 
 @dataclasses.dataclass
@@ -184,6 +158,10 @@ class RoutedPlan:
         return max((s.l1 for s in self.streams), default=1)
 
     @property
+    def wmax(self) -> int:
+        return max((s.wmax for s in self.streams), default=1)
+
+    @property
     def lmax(self) -> int:
         return max((s.lmax for s in self.streams), default=1)
 
@@ -216,18 +194,21 @@ def _greedy_merge(strip_of: np.ndarray, bc: np.ndarray, cap: int):
     return gid
 
 
-def _distinct_sub_rank(group: np.ndarray, sub: np.ndarray) -> np.ndarray:
-    """Per entry: how many DISTINCT sub values precede it in its group
-    (0 when its (group, sub) pair has been seen — entries sharing a pair
-    share a rank).  Used for conflict layering: a (payload row, source
-    lane) pair can serve one source sublane per gather layer."""
-    key = group * 8 + sub  # sub < 8: one combined sort beats a lexsort
+def _distinct_rank(
+    group: np.ndarray, val: np.ndarray, width: int = 8
+) -> np.ndarray:
+    """Per entry: how many DISTINCT ``val`` values precede it in its
+    group (0 when its (group, val) pair has been seen — entries sharing a
+    pair share a rank).  Used for conflict layering: a (target sublane,
+    source lane) cell can serve one source per gather layer.  ``width``
+    must exceed every val (the combined sort key is group*width+val)."""
+    key = group * width + val
     o = np.argsort(key, kind="stable")
     k_s = key[o]
     new_s = np.ones(len(o), bool)
     new_s[1:] = k_s[1:] != k_s[:-1]
     new_g = np.ones(len(o), bool)
-    new_g[1:] = (k_s[1:] >> 3) != (k_s[:-1] >> 3)
+    new_g[1:] = (k_s[1:] // width) != (k_s[:-1] // width)
     did = np.cumsum(new_s) - 1
     fd = np.where(new_g, did, 0)
     np.maximum.accumulate(fd, out=fd)
@@ -242,7 +223,7 @@ def _chain_bases(tile: np.ndarray, key: np.ndarray, need: np.ndarray,
     ordered by first appearance within the tile.
 
     Args are per-CHAIN arrays (one row per unique (tile, key)); returns
-    (base, total) aligned with them plus per-tile totals."""
+    the base aligned with them."""
     order = np.lexsort((first_pos, tile))
     t_s, n_s = tile[order], need[order]
     csum = np.cumsum(n_s)
@@ -263,12 +244,11 @@ def estimate_routed_cost_ns(
     strip_windows: int = 4,
     l_cap: int = L_CAP,
 ) -> dict:
-    """Cheap (a few unique passes, no packing) estimate of a v2 routed
+    """Cheap (a few unique passes, no packing) estimate of a v4 routed
     plan's cost for the model-only DSE: mirrors the planner's macro-cell
-    grouping + same-strip merging, estimating per-tile layer counts from
-    per-group window/band coverage.  Conflict-rank layers are approximated
-    by a flat +1 on each axis (calibrated against full plans on the suite
-    fixtures).  Returns {tiles, est_ns, stream_bytes, fill}."""
+    grouping + same-strip merging, estimating the per-tile window span
+    from per-group window coverage and boundary layers from per-group
+    band coverage.  Returns {tiles, est_ns, stream_bytes, fill}."""
     R, C = shape
     n = len(rows)
     if n == 0:
@@ -297,12 +277,15 @@ def estimate_routed_cost_ns(
     np.maximum.at(gw, gid, wc.astype(np.float64))
     tiles_g = -(-gsz // TILE)
     # per-tile layers: bands spread over the group's tiles (+1 seam/
-    # conflict allowance); windows shared by every tile of the strip
+    # conflict allowance); the window span is shared by every tile of the
+    # strip (distinct windows lower-bound the span)
     L_g = np.clip(np.ceil(gb / np.maximum(tiles_g, 1)) + 1, 1, l_cap)
-    l1_g = np.clip(gw + 1, 1, L1_CAP)
+    W_g = np.clip(gw, 1, min(strip_windows, W_CAP))
+    # +1 flat pass-1 overflow layer (calibrated conflict allowance)
     cost_g = tiles_g * (
         TILE_BASE_NS
-        + TILE_L1_NS * (l1_g - 1)
+        + TILE_W_NS * (W_g - 1)
+        + TILE_OV_NS
         + TILE_BND_NS * L_g
     )
     # demotion: groups whose per-nnz cost exceeds the element residual
@@ -311,14 +294,8 @@ def estimate_routed_cost_ns(
         + RESIDUAL_NS * float(gsz[demote].sum()) + 2 * LAUNCH_NS
     tiles = int(tiles_g[~demote].sum())
     lbar = float((tiles_g[~demote] * L_g[~demote]).sum()) / max(tiles, 1)
-    l1bar = float(
-        (tiles_g[~demote] * l1_g[~demote]).sum()
-    ) / max(tiles, 1)
-    # per-slot words: vals + lane words (4 layers ea) + sub words (8
-    # layers ea) + bl (2 boundary layers ea) + bs (4 ea)
-    words = (
-        1 + -(-l1bar // 4) + -(-l1bar // 8) + -(-lbar // 2) + -(-lbar // 4)
-    )
+    # per-slot words: vals + slot + gsub + bl (2 layers/word) + bs (4)
+    words = 3 + -(-lbar // 2) + -(-lbar // 4)
     stream_bytes = int(tiles * TILE * 4 * words)
     kept = int(gsz[~demote].sum())
     return {
@@ -333,7 +310,7 @@ def estimate_routed_cost_ns(
 def routed_vmem_ok(shape: tuple, budget_bytes: int = 8 << 20) -> bool:
     """The routed kernel keeps x AND y fully VMEM-resident (pow-2
     bucketed); million-row matrices (soc-Pokec scale) exceed VMEM and
-    must use the panel-streamed chunked/ellx paths instead."""
+    must use the banded cell grid instead."""
     nwin = max(-(-shape[1] // WINDOW), 1)
     nyt = max(-(-shape[0] // WINDOW), 1)
 
@@ -357,7 +334,7 @@ def best_routed_estimate(
             estimate_routed_cost_ns(
                 rows, cols, shape, strip_windows=sw, l_cap=l_cap
             )
-            for sw in (2, 4, 8, 16)
+            for sw in (2, 4, 8, 16, 32)
         ),
         key=lambda e: e["est_ns"],
     )
@@ -365,13 +342,14 @@ def best_routed_estimate(
 
 def plan_cost_ns(plan: RoutedPlan) -> float:
     """Modeled execution cost of a plan (measured v5e constants): every
-    tile pays its class's full layer caps (the unconditional kernel runs
-    all lmax layers; padded layers are exact zeros)."""
+    tile pays its class's full caps (the unconditional kernel runs all
+    lmax layers and the full W select tree; padding adds exact zeros)."""
     t = 0.0
     for s in plan.streams:
         t += LAUNCH_NS + s.num_tiles * (
             TILE_BASE_NS
-            + TILE_L1_NS * (s.l1 - 1)
+            + TILE_W_NS * (s.wmax - 1)
+            + TILE_OV_NS * (s.l1 - 1)
             + TILE_BND_NS * s.lmax
         )
     t += RESIDUAL_NS * len(plan.residual_vals)
@@ -386,11 +364,11 @@ def build_routed_plan(
     max_streams: int = 3,
 ) -> RoutedPlan:
     """Build a routed plan; ``strip_windows=0`` (auto) ranks strip widths
-    {2, 4, 8, 16} by the cheap macro-cell estimate (wider strips raise nnz
-    per band cell — fewer boundary layers per tile — at the price of more
-    pass-1 window layers), builds the best, and retries at the runner-up
-    when pass-1 conflict eviction made the residual heavy, keeping the
-    plan with the lower modeled cost."""
+    {2, 4, 8, 16, 32} by the cheap macro-cell estimate (wider strips raise
+    nnz per band cell — fewer boundary layers per tile — at a ~0.9 ns/
+    window select-tree cost), builds the best, and retries at the
+    runner-up when demotion made the residual heavy, keeping the plan
+    with the lower modeled cost."""
     if strip_windows == 0:
         ests = sorted(
             (
@@ -400,7 +378,7 @@ def build_routed_plan(
                 )["est_ns"],
                 sw,
             )
-            for sw in (2, 4, 8, 16)
+            for sw in (2, 4, 8, 16, 32)
         )
         sw0, sw1 = ests[0][1], ests[1][1]
         plan = _build_routed_plan(coo, sw0, l1_cap, l_cap, max_streams)
@@ -419,14 +397,13 @@ def build_routed_plan(
 def _repack_residual(
     plan: RoutedPlan, strip_windows: int, l1_cap: int, l_cap: int
 ) -> RoutedPlan:
-    """Re-plan the evicted/demoted entries into their own tiles (one
-    recursion level).  Entries evicted for exceeding a layer cap inside a
-    FULL tile get fresh budgets in fresh tiles, so most of the residual
-    packs back at vector rate and the 16 ns/elem element-scatter op (an
-    extra serialized XLA op per matvec) disappears or shrinks.  The
-    demotion rule inside the build keeps genuinely scattered leftovers in
-    the residual, so this never loses to the scatter.  Iterates while
-    stream slots remain and each pass still pays off."""
+    """Re-plan the demoted/evicted entries into their own tiles (one
+    recursion level, iterated).  Entries evicted for exceeding a layer
+    cap inside a FULL tile get fresh budgets in fresh tiles, so most of
+    the residual packs back at vector rate.  Wider strips are also tried:
+    scattered leftovers that were hopeless at the main plan's strip width
+    often pack at high fill when strips are wide (the select tree is
+    cheap, ~0.9 ns/window)."""
     while True:
         nxt = _repack_residual_once(plan, strip_windows, l1_cap, l_cap)
         if nxt is plan:
@@ -447,8 +424,10 @@ def _repack_residual_once(
         plan.residual_cols,
         plan.residual_vals,
     )
+    # widest sensible strips for the leftover (it is scattered by
+    # construction), unless the caller pinned a width
     rplan = _build_routed_plan(
-        rcoo, strip_windows, l1_cap, l_cap, max_streams=free
+        rcoo, max(strip_windows, 32), l1_cap, l_cap, max_streams=free
     )
     if not rplan.streams:
         return plan
@@ -474,7 +453,9 @@ def _build_routed_plan(
     l1_cap: int = L1_CAP,
     l_cap: int = L_CAP,
     max_streams: int = 3,
+    w_cap: int = W_CAP,
 ) -> RoutedPlan:
+    l1_cap = min(l1_cap, L1_CAP)  # the rank field is 3 bits
     R, C = coo.shape
     nwin = max(-(-C // WINDOW), 1)
     nyt = max(-(-R // WINDOW), 1)
@@ -491,7 +472,7 @@ def _build_routed_plan(
         )
 
     # macro cell = (column strip, block of l_cap row bands): padding tiles
-    # to cell boundaries caps both windows/tile (<= strip_windows) and
+    # to cell boundaries caps both the window span (<= strip_windows) and
     # bands/tile (<= l_cap) by construction
     nbb = max(-(-nyt // l_cap), 1)
     mcell = ((cols // WINDOW) // strip_windows) * nbb \
@@ -501,12 +482,11 @@ def _build_routed_plan(
     mcell = mcell[order]
 
     # ---- merge cells into tile groups, pad groups to whole tiles --------
-    # Cells of one STRIP share the <= strip_windows window budget, so
-    # consecutive same-strip cells can share tiles as long as their
-    # combined distinct-band count stays within the boundary-layer cap
-    # (only seam tiles mix bands; interior tiles keep their cell's).
-    # This is what keeps fill high when cells are much smaller than a
-    # tile (circuit/NLP classes: measured fill 0.31 -> ~0.9 on boyd2).
+    # Cells of one STRIP share the window budget, so consecutive
+    # same-strip cells can share tiles as long as their combined
+    # distinct-band count stays within the boundary-layer cap (only seam
+    # tiles mix bands; interior tiles keep their cell's).  This is what
+    # keeps fill high when cells are much smaller than a tile.
     uc, sstart = np.unique(mcell, return_index=True)
     ssize = np.diff(np.concatenate([sstart, [len(rows)]]))
     ub = np.unique(mcell * np.int64(nyt) + rows // WINDOW)
@@ -518,7 +498,7 @@ def _build_routed_plan(
     gsz = np.bincount(gid, weights=ssize.astype(np.float64)).astype(
         np.int64
     )
-    # v3: every tile reserves its 8 lane-0 slots as zero pads (see the
+    # every tile reserves its 8 lane-0 slots as zero pads (see the
     # PAYLOAD comment), so tiles hold 8 x 127 real slots
     gpad = -(-gsz // PAYLOAD) * TILE
     T0 = int(gpad.sum() // TILE)
@@ -560,17 +540,30 @@ def _build_routed_plan(
     p_band = p_rows // WINDOW
     real = ~pad
 
-    nnz_t = np.bincount(tile_of[real], minlength=T0)
-    tw = np.unique(tile_of * np.int64(nwin) + p_win)
-    win_t = np.bincount((tw // nwin).astype(np.int64), minlength=T0)
-    tb = np.unique(tile_of * np.int64(nyt) + p_band)
-    band_t = np.bincount((tb // nyt).astype(np.int64), minlength=T0)
+    def tile_stats(T0, tile_of, p_win, p_band, real):
+        nnz_t = np.bincount(tile_of[real], minlength=T0)
+        wmin_t = np.full(T0, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(wmin_t, tile_of, p_win)
+        wmax_t = np.zeros(T0, np.int64)
+        np.maximum.at(wmax_t, tile_of, p_win)
+        span_t = wmax_t - wmin_t + 1
+        tb = np.unique(tile_of * np.int64(nyt) + p_band)
+        band_t = np.bincount((tb // nyt).astype(np.int64), minlength=T0)
+        return nnz_t, wmin_t, span_t, band_t
+
+    nnz_t, wmin_t, span_t, band_t = tile_stats(
+        T0, tile_of, p_win, p_band, real
+    )
     cost_t = (
         TILE_BASE_NS
-        + TILE_L1_NS * np.maximum(win_t - 1, 0)
+        + TILE_W_NS * np.maximum(span_t - 1, 0)
         + TILE_BND_NS * np.maximum(band_t, 1)
     )
-    demote = (cost_t > RESIDUAL_NS * nnz_t) | (band_t > l_cap)
+    demote = (
+        (cost_t > RESIDUAL_NS * nnz_t)
+        | (band_t > l_cap)
+        | (span_t > w_cap)
+    )
 
     res_parts = []  # (rows, cols, vals) chunks headed for the residual
     if demote.any():
@@ -587,6 +580,9 @@ def _build_routed_plan(
         tile_of = np.arange(N) // TILE
         p_win = p_cols // WINDOW
         p_band = p_rows // WINDOW
+        nnz_t, wmin_t, span_t, band_t = tile_stats(
+            T0, tile_of, p_win, p_band, real
+        )
 
     if T0 == 0:
         rr, rc, rv = (
@@ -603,50 +599,53 @@ def _build_routed_plan(
             residual_rows=rr, residual_cols=rc, residual_vals=rv,
         )
 
-    s_of = (np.arange(N) % TILE) // 128
-    j_of = np.arange(N) % 128
-
-    # ---- pass-1 layering: window chains + conflict ranks ----------------
+    # ---- pass-1 hybrid layering: slab cells + overflow conflict ranks ---
+    # A composed two-level gather consults the sub grid at (target
+    # sublane, SOURCE lane): per such CELL, one (window, sub) source per
+    # layer.  Layer 0 (the slab select tree) serves each cell's first
+    # source; further distinct sources on a cell ride overflow layers
+    # (one window per tile-layer, v3 chain machinery), capped at l1_cap.
     src_lane = (p_cols % 128).astype(np.int64)
     src_sub = ((p_cols // 128) % 8).astype(np.int64)
-
+    win_local = p_win - wmin_t[tile_of]
+    s_of = (np.arange(N) % TILE) // 128
     ridx = np.nonzero(real)[0]
-    # conflict rank within (tile, window, payload row, source lane)
-    grp1 = (
-        ((tile_of[ridx] * nwin + p_win[ridx]) * 8 + s_of[ridx]) * 128
-        + src_lane[ridx]
-    )
-    rank1 = _distinct_sub_rank(grp1, src_sub[ridx])
-    # window chains per tile: need = max rank + 1; base by first appearance
-    twkey = tile_of[ridx] * np.int64(nwin) + p_win[ridx]
-    uk, inv = np.unique(twkey, return_inverse=True)
-    need1 = np.zeros(len(uk), np.int64)
-    np.maximum.at(need1, inv, rank1 + 1)
-    firstpos1 = np.full(len(uk), N, np.int64)
-    np.minimum.at(firstpos1, inv, ridx)
-    base1 = _chain_bases(uk // nwin, uk % nwin, need1, firstpos1)
-    layer1 = base1[inv] + rank1
+    cell = (tile_of[ridx] * 8 + s_of[ridx]) * 128 + src_lane[ridx]
+    gs = win_local[ridx] * 8 + src_sub[ridx]
+    rank0 = _distinct_rank(cell, gs, width=512)
+    layer1 = np.zeros(len(ridx), np.int64)
+    ov = np.nonzero(rank0 >= 1)[0]
+    uk1 = np.zeros(0, np.int64)
+    need1 = base1 = first1 = uk1
+    if len(ov):
+        twkey = tile_of[ridx[ov]] * np.int64(nwin) + p_win[ridx[ov]]
+        grp_ov = cell[ov] * np.int64(nwin) + p_win[ridx[ov]]
+        ovrank = _distinct_rank(grp_ov, src_sub[ridx[ov]], width=8)
+        uk1, inv1 = np.unique(twkey, return_inverse=True)
+        need1 = np.zeros(len(uk1), np.int64)
+        np.maximum.at(need1, inv1, ovrank + 1)
+        first1 = np.full(len(uk1), N, np.int64)
+        np.minimum.at(first1, inv1, ridx[ov])
+        base1 = _chain_bases(uk1 // nwin, uk1 % nwin, need1, first1)
+        layer1[ov] = 1 + base1[inv1] + ovrank
 
     evict1 = layer1 >= l1_cap
     if evict1.any():
         e = ridx[evict1]
         res_parts.append((p_rows[e], p_cols[e], p_vals[e].copy()))
         p_vals[e] = 0.0
-        ridx = ridx[~evict1]
-        layer1 = layer1[~evict1]
-        inv = inv[~evict1]
+        keep = ~evict1
+        ridx = ridx[keep]
+        cell, gs, layer1 = cell[keep], gs[keep], layer1[keep]
 
-    # per-tile pass-1 layer count
-    l1_t = np.zeros(T0, np.int64)
+    l1_t = np.ones(T0, np.int64)
     np.maximum.at(l1_t, tile_of[ridx], layer1 + 1)
-    l1_t = np.maximum(l1_t, 1)
-    # per-tile per-layer window table
-    win_l = np.zeros((T0, l1_cap), np.int32)
-    # chains: layer range [base, base+need) of window uk%nwin in tile uk//nwin
-    for chains in [None]:  # scoped block
-        ct = (uk // nwin).astype(np.int64)
-        cw = (uk % nwin).astype(np.int32)
-        # scatter each chain's window into its layer slots
+    nov = l1_cap - 1
+    win_l = np.zeros((T0, nov), np.int32)
+    if len(uk1):
+        # scatter each overflow chain's window into its layer columns
+        ct = (uk1 // nwin).astype(np.int64)
+        cw = (uk1 % nwin).astype(np.int32)
         reps = need1.astype(np.int64)
         tt = np.repeat(ct, reps)
         ll = np.repeat(base1, reps) + (
@@ -654,10 +653,10 @@ def _build_routed_plan(
             np.repeat(np.concatenate([[0], np.cumsum(reps)])[:-1], reps)
         )
         ww = np.repeat(cw, reps)
-        ok = ll < l1_cap
+        ok = ll < nov
         win_l[tt[ok], ll[ok]] = ww[ok]
 
-    # ---- row runs & boundary entries ------------------------------------
+    # ---- row runs & boundary entries (two-sided, v3 machinery) ----------
     brk = np.ones(N, bool)
     brk[1:] = (p_rows[1:] != p_rows[:-1]) | (np.arange(1, N) % TILE == 0)
     starts = np.nonzero(brk)[0]
@@ -676,13 +675,13 @@ def _build_routed_plan(
 
     # conflict ranks within (tile, band, sy, source lane), sides separate
     grp_a = ((e_tile * nyt + e_band) * 8 + sy) * 128 + a_lane
-    rank_a = _distinct_sub_rank(grp_a, a_sub)
+    rank_a = _distinct_rank(grp_a, a_sub)
     rank_b = np.zeros(len(e_tile), np.int64)
     if has_b.any():
         hb = np.nonzero(has_b)[0]
         grp_b = ((e_tile[hb] * nyt + e_band[hb]) * 8 + sy[hb]) * 128 \
             + b_lane[hb]
-        rank_b[hb] = _distinct_sub_rank(grp_b, b_sub[hb])
+        rank_b[hb] = _distinct_rank(grp_b, b_sub[hb])
 
     # band chains per tile
     tbkey = e_tile * np.int64(nyt) + e_band
@@ -734,35 +733,44 @@ def _build_routed_plan(
         ok = ll < l_cap
         byt_l[tt[ok], ll[ok]] = bb[ok]
 
-    # ---- class partition (up to max_streams by bucketed layer counts) ---
+    # ---- class partition (up to max_streams by bucketed dims) -----------
     def _bucket(n, cap):
         b = 1
         while b < n:
             b *= 2
         return min(b, cap)
 
+    wb = np.array([_bucket(int(v), w_cap) for v in span_t])
     l1b = np.array([_bucket(int(v), l1_cap) for v in l1_t])
     lb = np.array([_bucket(int(v), l_cap) for v in L_t])
-    classes = l1b * 64 + lb  # composite class key
+    classes = (wb * 16 + l1b) * 64 + lb  # composite class key
+
+    def _cls_dims(key):
+        return int(key) // 1024, (int(key) // 64) % 16, int(key) % 64
+
+    def _cls_cost(wv, l1v, lv):
+        return (
+            wv * TILE_W_NS + (l1v - 1) * TILE_OV_NS + lv * TILE_BND_NS
+        )
+
     ucls, cls_inv, cls_cnt = np.unique(
         classes, return_inverse=True, return_counts=True
     )
-    # order classes by PADDING cost (with per-tile predication a merged
-    # tile pays only stream DMA + pass-1 compute for the padded layers);
-    # merge cheapest-adjacent until <= max_streams
-    cls_cost = (ucls // 64) * TILE_L1_NS + (ucls % 64) * TILE_BND_NS
+    # order classes by PADDING cost; merge cheapest-adjacent until
+    # <= max_streams, and keep merging while a merge beats the launch it
+    # saves
+    cls_cost = np.array([_cls_cost(*_cls_dims(k)) for k in ucls])
     corder = np.argsort(cls_cost)
     groups = [[i] for i in corder]
     while len(groups) > 1:
-        # merging two adjacent class groups charges every member tile the
-        # merged layer counts but saves one kernel launch; merge the pair
-        # with the least added cost while over the stream budget, and keep
-        # merging whenever a merge is cheaper than the launch it saves
         best, bcost = None, None
         for gi in range(len(groups) - 1):
             a, b = groups[gi], groups[gi + 1]
-            la = max(ucls[i] // 64 for i in a + b) * TILE_L1_NS \
-                + max(ucls[i] % 64 for i in a + b) * TILE_BND_NS
+            dims = [_cls_dims(ucls[i]) for i in a + b]
+            la = _cls_cost(
+                max(d[0] for d in dims), max(d[1] for d in dims),
+                max(d[2] for d in dims),
+            )
             added = sum(
                 cls_cnt[i] * (la - cls_cost[i]) for i in a + b
             )
@@ -783,8 +791,10 @@ def _build_routed_plan(
         tiles = np.nonzero(sel_cls[cls_inv])[0]
         if len(tiles) == 0:
             continue
-        sl1 = int(max(ucls[i] // 64 for i in g))
-        sL = int(max(ucls[i] % 64 for i in g))
+        dims_g = [_cls_dims(ucls[i]) for i in g]
+        sW = int(max(d[0] for d in dims_g))
+        sl1 = int(max(d[1] for d in dims_g))
+        sL = int(max(d[2] for d in dims_g))
         Ts = len(tiles)
         # map original tile id -> stream-local tile id
         tmap = np.full(T0, -1, np.int64)
@@ -792,72 +802,62 @@ def _build_routed_plan(
 
         slot_sel = tmap[tile_of] >= 0
         st = tmap[tile_of[slot_sel]]
-        ss, sj = s_of[slot_sel], j_of[slot_sel]
-        lay = p_layer[slot_sel]
-        lane = src_lane[slot_sel]
-        sub = src_sub[slot_sel]
-        v = p_vals[slot_sel]
-        nzm = v != 0.0
+        ss = s_of[slot_sel]
+        sj = (np.arange(N) % 128)[slot_sel]
 
-        # Bitfield accumulation: contributions are split into CLASSES whose
-        # cells are unique (per-(cell, layer) dedup + one class per layer
-        # slot within a word), so each class is a plain vectorized
-        # OR-assign into the uint32 output — no float64 bincount
-        # intermediates (those materialized 2 extra full-size copies,
-        # ~400 MB each on heavy streams).
+        vals_s = np.zeros((Ts, 8, 128), np.float32)
+        vals_s[st, ss, sj] = p_vals[slot_sel]
+        # force the reserved zero slots (P'[0,0] == 0 is what lets
+        # boundary/start pointers skip validity bits entirely)
+        vals_s[:, :, 0] = 0.0
+        # slot word at SLOT positions: lane | layer<<7
+        slot_s = np.zeros((Ts, 8, 128), np.uint32)
+        slot_s[st, ss, sj] = (
+            src_lane[slot_sel] | (p_layer[slot_sel] << 7)
+        ).astype(np.uint32)
+        slot_s = slot_s.view(np.int32)
+        # gsub word at (row, SOURCE-lane) cell positions: rank-0 source
+        # (win_local<<3 | sub) in bits 0-8, overflow subs at 9+3*(l-1).
+        # One vectorized OR-assign per layer: within a layer, cells are
+        # unique-or-equal by the rank construction.
+        # The slab tree reads windows [base, base+sW): clamp base left so
+        # the reads stay inside the executor's pow-2-padded x (edge tiles
+        # whose span < the class span would otherwise read past the end);
+        # gs shifts by the clamp delta.
+        nwinp = _bucket(nwin, 1 << 30)
+        base_cl = np.maximum(
+            np.minimum(wmin_t[tiles], nwinp - sW), 0
+        )
+        delta = wmin_t[tiles] - base_cl  # >= 0, per stream-local tile
+        gsub_s = np.zeros(Ts * TILE, np.uint32)
+        rsel = tmap[tile_of[ridx]] >= 0
+        cl = (
+            (tmap[tile_of[ridx]] * 8 + s_of[ridx]) * 128
+            + src_lane[ridx]
+        )
+        m0 = rsel & (layer1 == 0)
+        gsub_s[cl[m0]] |= (
+            gs[m0] + 8 * delta[tmap[tile_of[ridx[m0]]]]
+        ).astype(np.uint32)
+        for l in range(1, sl1):
+            ml = rsel & (layer1 == l)
+            if ml.any():
+                gsub_s[cl[ml]] |= (
+                    src_sub[ridx[ml]].astype(np.uint32)
+                    << np.uint32(9 + 3 * (l - 1))
+                )
+        gsub_s = gsub_s.view(np.int32).reshape(Ts, 8, 128)
+
+        # Bitfield accumulation for bl/bs: contributions are split into
+        # CLASSES whose cells are unique (per-(cell, layer) dedup + one
+        # class per layer slot within a word), so each class is a plain
+        # vectorized OR-assign into the uint32 output.
         def _acc(classes, size):
             out = np.zeros(size, np.uint32)
             for cells, w in classes:
                 if len(cells):
                     out[cells] |= w.astype(np.uint32)
             return out.view(np.int32)
-
-        vals_s = np.zeros((Ts, 8, 128), np.float32)
-        vals_s[st, ss, sj] = v
-        # v3: force the reserved zero slot (P'[0] == 0 is what lets
-        # boundary entries skip validity bits entirely)
-        vals_s[:, 0, 0] = 0.0
-        # lane words: 4 layers per i32 (7 bits each); word 0 carries the
-        # slot's rank bits 0-3 in bits 28-31, word 1 carries rank bit 4 in
-        # bit 28 (ranks go to 31 at L1_CAP=32; uint domain — the kernel
-        # reads with shift_right_logical)
-        route_ws = []
-        for wi in range(-(-sl1 // 4)):
-            arr = np.zeros((Ts, 8, 128), np.uint32)
-            m = nzm & (lay // 4 == wi)
-            arr[st[m], ss[m], sj[m]] = (
-                lane[m] << (7 * (lay[m] % 4))
-            ).astype(np.uint32)
-            route_ws.append(arr)
-        route_ws[0][st[nzm], ss[nzm], sj[nzm]] |= (
-            (lay[nzm].astype(np.uint32) & 15) << 28
-        )
-        if sl1 > 16:
-            route_ws[1][st[nzm], ss[nzm], sj[nzm]] |= (
-                (lay[nzm].astype(np.uint32) >> 4) << 28
-            )
-        route_ws = [a.view(np.int32) for a in route_ws]
-        # rsub: per (tile, payload row, SOURCE lane, layer) — dedup pairs
-        # sharing (cell, layer) (they share sub by construction), then sum;
-        # 8 layers per i32 word (3 bits each)
-        cell = (st[nzm] * 8 + ss[nzm]) * 128 + lane[nzm]
-        pk = cell * np.int64(L1_CAP) + lay[nzm]
-        o = np.argsort(pk, kind="stable")
-        first = np.ones(len(o), bool)
-        first[1:] = pk[o][1:] != pk[o][:-1]
-        fo = o[first]
-        lf, cf, wf = lay[nzm][fo], cell[fo], sub[nzm][fo]
-        rsub_ws = [
-            _acc(
-                [
-                    (cf[lf == l], wf[lf == l] << (3 * (l % 8)))
-                    for l in range(wi * 8, min(sl1, (wi + 1) * 8))
-                ],
-                Ts * TILE,
-            ).reshape(Ts, 8, 128)
-            for wi in range(-(-sl1 // 8))
-        ]
-        win_s = win_l[tiles, :sl1].astype(np.int32)
 
         npair = -(-sL // 2)
         nquad = -(-sL // 4)
@@ -869,7 +869,7 @@ def _build_routed_plan(
         bll, bss = b_lane[esel], b_sub[esel]
         hb3 = np.nonzero(has_b[esel])[0]
         # bl: boundary entries are unique per (tile, layer, sy, jy); one
-        # class per (side, word parity).  v3: NO validity bits — absent
+        # class per (side, word parity).  NO validity bits — absent
         # sides/entries stay 0 and read the reserved zero slot (0, 0)
         cp = ((et * npair + ea // 2) * 8 + ey) * 128 + ej
         bl_classes = []
@@ -920,17 +920,18 @@ def _build_routed_plan(
         bs_s = _acc(bs_classes, Ts * nquad * TILE).reshape(
             Ts, nquad, 8, 128
         )
-        byt_s = byt_l[tiles, :sL].astype(np.int32)
 
         streams.append(RoutedStream(
-            num_tiles=Ts, l1=sl1, lmax=sL,
-            vals=vals_s, routes=route_ws, rsubs=rsub_ws,
-            win=win_s, bl=bl_s, bs=bs_s, byt=byt_s,
+            num_tiles=Ts, wmax=sW, l1=sl1, lmax=sL,
+            vals=vals_s, slot=slot_s, gsub=gsub_s, bl=bl_s, bs=bs_s,
+            base=base_cl.astype(np.int32),
+            win=win_l[tiles, : max(sl1 - 1, 0)].astype(np.int32),
+            byt=byt_l[tiles, :sL].astype(np.int32),
             lt=L_t[tiles].astype(np.int32),
         ))
 
     # costliest class last (cheap/large classes stream first)
-    streams.sort(key=lambda s: s.l1 * TILE_L1_NS + s.lmax * TILE_BND_NS)
+    streams.sort(key=lambda s: _cls_cost(s.wmax, s.l1, s.lmax))
     streams = streams[:3]
     if res_parts:
         rr = np.concatenate([p[0] for p in res_parts])
@@ -959,10 +960,9 @@ def build_ranked_routed_plan(
 ) -> RoutedPlan:
     """Routed plan in RANK SPACE: rows and columns degree-sorted (stable,
     panel-local) before planning, so power-law nonzeros concentrate into
-    dense tiles with few window/band layers — the measured effect on the
-    soc-Pokec stand-in is ~7x modeled cost and residual 569k -> <1k.
-    x/y are moved between original and rank space by the fast 3-stage
-    permutation kernels (plan/permute.py; ~0.1 ns/element).
+    dense tiles with small window spans and few band layers.  x/y are
+    moved between original and rank space by the fast 3-stage permutation
+    kernels (plan/permute.py; ~0.1 ns/element).
 
     This is the planner's answer to the reference's HI crossbar + shared
     row balancing for scale-free matrices (base_functions.cpp:356-436,
@@ -990,8 +990,6 @@ def build_ranked_routed_plan(
 
 def _rank_of_perms(perms, n: int) -> np.ndarray:
     """rank[orig] from panel-local perms (inverse of the perm gather)."""
-    from hispmv_tpu.plan.permute import PANEL
-
     rank = np.empty(n, np.int64)
     base = 0
     for p in perms:
@@ -1007,46 +1005,51 @@ def _stream_matvec_numpy(
     """Golden executor for one stream, mirroring the kernel's exact
     dataflow (float64 accumulate), accumulating into ``y``."""
     lanes = np.arange(128)
-    route_words = s.route_words
-    rsub_words = s.rsub_words
     for t in range(s.num_tiles):
-        rank = (route_words[0][t].view(np.uint32) >> 28) & 15
-        if s.l1 > 16:
-            rank = rank | (
-                ((route_words[1][t].view(np.uint32) >> 28) & 1) << 4
-            )
-        # pass 1
-        p = np.zeros((8, 128), np.float64)
-        for l in range(s.l1):
-            w = int(s.win[t, l])
+        slot = s.slot[t].view(np.uint32)
+        gsub = s.gsub[t].view(np.uint32)
+        lane = (slot & 127).astype(np.int64)
+        rank = ((slot >> 7) & 7).astype(np.int64)
+        base = int(s.base[t])
+        # pass 1 layer 0: slab select tree over the span, then the
+        # composed lane gather
+        gs = (gsub & 511).astype(np.int64)
+        sub0 = gs & 7
+        vid = gs >> 3
+        acc = np.zeros((8, 128), np.float64)
+        for v in range(s.wmax):
+            win8 = x2d[(base + v) * 8 : (base + v) * 8 + 8]
+            g = win8[sub0, lanes[None, :]]
+            acc = np.where(vid == v, g, acc)
+        xg = np.take_along_axis(acc, lane, axis=1)
+        if s.l1 > 1:
+            xg = np.where(rank == 0, xg, 0.0)
+        # overflow layers: one window per tile-layer + 3-bit sub field
+        for l in range(1, s.l1):
+            w = int(s.win[t, l - 1])
             win8 = x2d[w * 8 : w * 8 + 8]
-            lane = (
-                route_words[l // 4][t].view(np.uint32) >> (7 * (l % 4))
-            ) & 127
-            sub = (
-                rsub_words[l // 8][t].view(np.uint32) >> (3 * (l % 8))
-            ) & 7
+            sub = ((gsub >> (9 + 3 * (l - 1))) & 7).astype(np.int64)
             t1 = win8[sub, lanes[None, :]]
-            xg = np.take_along_axis(t1, lane.astype(np.int64), axis=1)
-            p += np.where(
-                rank == l, s.vals[t].astype(np.float64) * xg, 0.0
-            )
-        # pass 2
-        pf2 = np.cumsum(p.reshape(-1)).reshape(8, 128)
-        # pass 3 (v3: no validity bits — absent sides read P'[0] == 0)
+            g = np.take_along_axis(t1, lane, axis=1)
+            xg = np.where(rank == l, g, xg)
+        p = s.vals[t].astype(np.float64) * xg
+        # pass 2: flat inclusive prefix
+        pf = np.cumsum(p.reshape(-1)).reshape(8, 128)
+        # pass 3: two-sided boundary extraction (no validity bits —
+        # absent sides read the reserved zero slot P'[0,0] == 0)
         for k in range(s.lmax):
             raw = (s.bl[t, k // 2].view(np.uint32) >> (14 * (k % 2))) \
                 & 0x3FFF
             q = (s.bs[t, k // 4].view(np.uint32) >> (8 * (k % 4))) & 0xFF
-            a_lane = raw & 127
-            b_lane = (raw >> 7) & 127
-            a_sub = q & 7
-            b_sub = (q >> 4) & 7
+            a_lane = (raw & 127).astype(np.int64)
+            b_lane = ((raw >> 7) & 127).astype(np.int64)
+            a_sub = (q & 7).astype(np.int64)
+            b_sub = ((q >> 4) & 7).astype(np.int64)
             ga = np.take_along_axis(
-                pf2[a_sub, lanes[None, :]], a_lane.astype(np.int64), axis=1
+                pf[a_sub, lanes[None, :]], a_lane, axis=1
             )
             gb = np.take_along_axis(
-                pf2[b_sub, lanes[None, :]], b_lane.astype(np.int64), axis=1
+                pf[b_sub, lanes[None, :]], b_lane, axis=1
             )
             b = int(s.byt[t, k])
             y[b * WINDOW : (b + 1) * WINDOW] += (ga - gb).reshape(-1)
@@ -1064,9 +1067,14 @@ def routed_matvec_numpy(plan: RoutedPlan, x: np.ndarray) -> np.ndarray:
             )
         ])
         x = np.asarray(x)[perm]
-    xp = np.zeros(plan.num_windows * WINDOW, np.float64)
+    # pad to the executor's pow-2 window count: the slab tree of an edge
+    # tile may read (and discard) windows past num_windows
+    nwp = 1
+    while nwp < plan.num_windows:
+        nwp *= 2
+    xp = np.zeros(nwp * WINDOW, np.float64)
     xp[:C] = x
-    x2d = xp.reshape(plan.num_windows * 8, 128)
+    x2d = xp.reshape(nwp * 8, 128)
     y = np.zeros(plan.num_ytiles * WINDOW, np.float64)
     for s in plan.streams:
         _stream_matvec_numpy(s, x2d, y)
@@ -1226,7 +1234,7 @@ def estimate_banded_routed_ns(
     panel_cols: int = PANEL_COLS,
 ) -> dict:
     """Model-only cost estimate of a banded routed plan: per-cell
-    ``estimate_routed_cost_ns`` (strip widths 4 and 16) summed + one
+    ``estimate_routed_cost_ns`` (strip widths 4 and 32) summed + one
     launch per cell stream-class.  Used by the DSE when
     ``routed_vmem_ok`` fails."""
     R, C = shape
@@ -1265,7 +1273,7 @@ def estimate_banded_routed_ns(
             (estimate_routed_cost_ns(
                 rows[sel] - bi * band_rows, cols[sel] - pi * panel_cols,
                 (nrows, ncols), strip_windows=sw,
-            ) for sw in (4, 16)),
+            ) for sw in (4, 32)),
             key=lambda d: d["est_ns"],
         )
         est_ns += e["est_ns"] + 2 * LAUNCH_NS
