@@ -124,7 +124,7 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
             names = stream_array_names(sm["dims"][2])
             p = prefix + f"s{i}g{gi}_"
             packed = tuple(d[p + n] for n in names) + (
-                d[p + "base"], d[p + "win"], d[p + "byt"], d[p + "lt"])
+                d[p + "base"], d[p + "byt"], d[p + "lt"])
             ys = spmv_routed_stream_pallas(
                 packed, sm["dims"], x2d, nytp, interpret=interp,
             )
@@ -584,7 +584,7 @@ class SpmvHandle:
             seg_metas = []
             for gi, (packed, dims) in enumerate(pack_stream(s)):
                 names = stream_array_names(dims[2]) + (
-                    "base", "win", "byt", "lt")
+                    "base", "byt", "lt")
                 for n, a in zip(names, packed):
                     d[prefix + f"s{i}g{gi}_" + n] = jnp.asarray(a)
                 seg_metas.append({"dims": dims})

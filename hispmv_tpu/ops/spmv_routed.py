@@ -3,13 +3,13 @@
 Executes plan/routed.py streams.  Per (8,128) tile of 1024 nnz slots (all
 vector ops, zero per-nnz scalar work):
 
-1. x gather: layer 0 is a SLAB select tree over the tile's W-window span
-   (one in-vreg sublane gather + select per window, ~0.9 ns each) fed by
-   the 9-bit (win<<3|sub) field each (row, source-lane) cell carries;
-   cell conflicts ride up to 7 overflow layers (one window per
-   tile-layer from a scalar table + a 3-bit sub field, ~6.4 ns each).
-   One lane take_along_axis completes the two-level gather per layer; a
-   3-bit per-slot rank selects the slot's layer.
+1. x gather: each of the tile's l1 (<= 3) layers is a SLAB select tree
+   over the tile's W-window span (one in-vreg sublane gather + select
+   per window, ~0.9 ns each) fed by a per-cell 9-bit (win<<3 | sub)
+   field (layer l at gsub bits 9*l for l < 3, slot-word bits 10/19 for
+   layers 3-4); layer l serves each (row, source-lane) cell's l-th
+   distinct source.  One lane take_along_axis completes the two-level
+   gather per layer; a 3-bit per-slot rank selects the slot's layer.
 2. products -> flattened prefix sum: lane prefix via an upper-triangular
    ones matmul (MXU) + sublane carry via a strict-lower block matmul.
 3. per boundary layer, run sums P'[end] - P'[start-1] are pulled by two
@@ -24,9 +24,9 @@ out-of-order scheduler become plan-time routing arrays
 (base_functions.cpp:356-436, spmv-helper.cpp:429-515).
 
 Measured (v5e, loop-slope, v4 calibration 2026-08-19, effective constants
-incl. stream DMA): ~53 ns per tile + ~0.95 ns per window of span + ~2.2
-ns per overflow layer + ~10.8 ns per boundary layer (every class-cap
-layer runs; padded layers read the reserved zero slot and add zeros).
+incl. stream DMA): ~53 ns per tile + ~0.95 ns per window of span PER
+LAYER + ~4 ns fixed per extra layer + ~10.8 ns per boundary layer (every
+class-cap layer runs; padding reads the reserved zero slot, adds zeros).
 """
 
 from __future__ import annotations
@@ -125,35 +125,34 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     kernel executes padded tiles at full cost, so rounding the whole
     stream up to a pow-2 grid would waste up to 2x).
 
-    Returns a list of ((vals, slot, gsub, bl, bs, base, win, byt, lt),
-    dims) segments with dims (nch, tchunk, W, l1, lp).  W, l1 and lp are
-    bucketed to powers of two (``bucket=False`` disables all bucketing
-    and returns one exact-size segment)."""
+    Returns a list of ((vals, slot, gsub, bl, bs, base, byt, lt), dims)
+    segments with dims (nch, tchunk, W, l1, lp).  W and lp are bucketed
+    to powers of two (``bucket=False`` disables the W/lp bucketing and
+    returns one exact-size segment)."""
     tchunk = tchunk or chunk_for_stream(s)
     T = s.num_tiles
     nch = max(-(-T // tchunk), 1)
     W = s.wmax if not bucket else _bucket(s.wmax)
-    l1 = s.l1 if not bucket else _bucket(s.l1)
+    l1 = min(s.l1, 5)
     lp = s.lmax if not bucket else _bucket(s.lmax)
-    nov = max(l1 - 1, 0)
     if bucket:
         from hispmv_tpu.plan.routed import (
             TILE_BASE_NS, TILE_BND_NS, TILE_OV_NS, TILE_W_NS)
 
         chunk_cost = tchunk * (
-            TILE_BASE_NS + TILE_W_NS * (W - 1) + TILE_OV_NS * nov
-            + TILE_BND_NS * lp
+            TILE_BASE_NS + TILE_W_NS * (W - 1)
+            + TILE_OV_NS * (l1 - 1) + TILE_BND_NS * lp
         )
-        # Per-segment scalar-prefetch arrays (flat base[T], win[T*nov],
-        # byt[T*lp], lt[T]) live in the 1 MiB SMEM; cap segment size so
-        # heavy-layer streams never exceed it.  Each 1-D operand is
-        # padded to at least one ~512 B SMEM row, so size the cap against
-        # row-padded totals: the largest pow-2 segment whose padded
-        # arrays fit the budget.
+        # Per-segment scalar-prefetch arrays (flat base[T], byt[T*lp],
+        # lt[T]) live in the 1 MiB SMEM; cap segment size so heavy-layer
+        # streams never exceed it.  Each 1-D operand is padded to at
+        # least one ~512 B SMEM row, so size the cap against row-padded
+        # totals: the largest pow-2 segment whose padded arrays fit the
+        # budget.
         def _smem_bytes(seg_chunks):
             t = seg_chunks * tchunk
             return sum(
-                max(t * d * 4, 512) for d in (1, nov, lp, 1)
+                max(t * d * 4, 512) for d in (1, lp, 1)
             )
 
         cap = 1
@@ -179,11 +178,6 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     bs[:T, : s.bs.shape[1]] = s.bs
     base = np.zeros(Tp, np.int32)
     base[:T] = s.base
-    # nov == 0 still ships one zero column: Mosaic rejects s32[0] scalar
-    # prefetch operands (the kernel never reads it)
-    win = np.zeros((Tp, max(nov, 1)), np.int32)
-    if nov:
-        win[:T, : s.win.shape[1]] = s.win[:, :nov]
     byt = np.zeros((Tp, lp), np.int32)
     byt[:T, : s.byt.shape[1]] = s.byt
     lt = np.zeros(Tp, np.int32)  # padding tiles: 0 layers (diagnostics)
@@ -199,7 +193,6 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
         # per ROW (~512 B), so [T, 1] tables would cost T*512 B and blow
         # the 1 MiB SMEM budget at a few thousand tiles
         base.reshape(nch, tchunk),
-        win.reshape(nch, tchunk * max(nov, 1)),
         byt.reshape(nch, tchunk * lp),
         lt.reshape(nch, tchunk),
     ]
@@ -224,7 +217,6 @@ def _srl(x, n):
 
 def _routed_kernel(
     base_ref,  # i32 [Tp] scalar prefetch: window base per tile
-    win_ref,  # i32 [Tp*(l1-1)] scalar prefetch: window per overflow layer
     byt_ref,  # i32 [Tp*lp] scalar prefetch: y tile per boundary layer
     lt_ref,  # i32 [Tp] actual layers/tile — kept in the prefetch layout
     # for diagnostics/serialization but UNUSED here (padded layers read
@@ -246,7 +238,6 @@ def _routed_kernel(
     M = tchunk * 8
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
-    nov = max(l1 - 1, 0)
     iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
     upper = (iota_l <= iota_c).astype(jnp.float32)
@@ -264,26 +255,21 @@ def _routed_kernel(
         lane = slot & 127
         rank = _srl(slot, 7) & 7
         base = base_ref[i * tchunk + j]
-        # layer 0: slab select tree over the window span
-        gs = gsub & 511
-        sub0 = gs & 7
-        vid = _srl(gs, 3)
-        acc = jnp.zeros((8, LANES), jnp.float32)
-        for v in range(W):
-            win8 = x_ref[pl.ds((base + v) * 8, 8), :]
-            g = jnp.take_along_axis(win8, sub0, axis=0)
-            acc = jnp.where(vid == v, g, acc) if W > 1 else g
-        xg = jnp.take_along_axis(acc, lane, axis=1)
-        if l1 > 1:
-            xg = jnp.where(rank == 0, xg, 0.0)
-        # overflow layers: one window per tile-layer + 3-bit sub field
-        for l in range(1, l1):
-            w = win_ref[(i * tchunk + j) * nov + (l - 1)]
-            win8 = x_ref[pl.ds(w * 8, 8), :]
-            sub = _srl(gsub, 9 + 3 * (l - 1)) & 7
-            t1 = jnp.take_along_axis(win8, sub, axis=0)
-            g = jnp.take_along_axis(t1, lane, axis=1)
-            xg = jnp.where(rank == l, g, xg)
+        xg = jnp.zeros((8, LANES), jnp.float32)
+        for l in range(l1):
+            gs = (
+                _srl(gsub, 9 * l) if l < 3
+                else _srl(slot, 10 + 9 * (l - 3))
+            ) & 511
+            sub = gs & 7
+            vid = _srl(gs, 3)
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            for v in range(W):
+                win8 = x_ref[pl.ds((base + v) * 8, 8), :]
+                g = jnp.take_along_axis(win8, sub, axis=0)
+                acc = jnp.where(vid == v, g, acc) if W > 1 else g
+            g = jnp.take_along_axis(acc, lane, axis=1)
+            xg = g if l1 == 1 else jnp.where(rank == l, g, xg)
         return vals * xg
 
     pall = jnp.concatenate(
@@ -342,14 +328,14 @@ def spmv_routed_stream_pallas(
 ) -> jax.Array:
     """Run one routed stream; returns y f32 [nyt*8, 128]."""
     nch, tchunk, W, l1, lmax = dims
-    vals, slot, gsub, bl, bs, base, win, byt, lt = packed
+    vals, slot, gsub, bl, bs, base, byt, lt = packed
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
 
     def spec(rows):
         return pl.BlockSpec(
             (1, rows, LANES),
-            lambda i, b, w, t, lt_: (i, 0, 0),
+            lambda i, b, t, lt_: (i, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -359,12 +345,12 @@ def spmv_routed_stream_pallas(
         pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(nch,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (num_ytiles * 8, LANES),
-            lambda i, b, w, t, lt_: (0, 0),
+            lambda i, b, t, lt_: (0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -386,4 +372,4 @@ def spmv_routed_stream_pallas(
             bytes_accessed=nbytes + x2d.size * 4,
             transcendentals=0,
         ),
-    )(base, win, byt, lt, vals, slot, gsub, bl, bs, x2d)
+    )(base, byt, lt, vals, slot, gsub, bl, bs, x2d)

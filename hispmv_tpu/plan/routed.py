@@ -15,14 +15,16 @@ spmv-helper.cpp:429-515):
   at (target sublane, SOURCE lane), so per (row, source-lane) CELL only
   one (window, sub) source can be served per gather layer — the
   fundamental constraint the reference's crossbar resolves in hardware.
-  v4 resolves it hybrid: LAYER 0 is a "slab" select tree over the tile's
-  whole window span W (each cell's first (win<<3|sub) source rides a
-  9-bit field; one in-vreg sublane gather + select per window, measured
-  ~0.9 ns/window/tile) and serves the vast majority of slots in one
-  pass; cell CONFLICTS (second+ distinct (win,sub) on one cell, rare)
-  ride up to 7 v3-style OVERFLOW layers — per layer one window (scalar
-  table) and a 3-bit sub field.  Slots carry a 3-bit rank selecting
-  their layer.
+  v4 resolves it with SLAB layers: each layer is a select tree over the
+  tile's whole window span W (one in-vreg sublane gather + select per
+  window, measured ~0.9 ns/window/tile) driven by a per-cell 9-bit
+  (win<<3 | sub) field.  Layer l serves each cell's l-th distinct
+  source; three 9-bit fields ride one i32, so up to 3 layers resolve all
+  conflicts (deeper conflicts are evicted and repacked into fresh
+  tiles).  Slots carry a 2-bit rank selecting their layer.  Unlike
+  per-window layering (v3), a layer serves conflicts across ALL of the
+  tile's windows at once, so conflict pressure no longer scales with the
+  strip width.
 - pass 2 (segmented reduce): products are prefix-summed over the flat
   tile order (lane prefix via a triangular MXU matmul + sublane carry),
   and each row-run's sum is extracted as P'[end] - P'[start-1].
@@ -42,23 +44,24 @@ boundary side reads an exact 0 instead of being masked.
 
 Tiles whose modeled cost exceeds the element-scatter residual cost are
 demoted to the residual wholesale.  Remaining tiles are partitioned into
-up to ``max_streams`` cost classes by (window span, boundary layers) so
-light tiles are not charged the heavy tiles' padded dimensions; each
-class is an independently executable stream.
+up to ``max_streams`` cost classes by (window span, pass-1 layers,
+boundary layers) so light tiles are not charged the heavy tiles' padded
+dimensions; each class is an independently executable stream (classes
+cheaper to merge than a kernel launch are merged).
 
 Streams are stored COMPRESSED (the stream is the cost):
 
 - ``vals``  f32 [T,8,128]: the slot's value;
-- ``slot``  i32 [T,8,128] at SLOT positions: lane | rank<<7;
+- ``slot``  i32 [T,8,128]: lane | rank<<7 at SLOT positions, plus the
+  layer-3/4 cell fields at bits 10/19 (two position semantics share the
+  word as disjoint bit planes);
 - ``gsub``  i32 [T,8,128] at (row, SOURCE-lane) cell positions: the
-  rank-0 source (win_local<<3 | sub) in bits 0-8, plus one 3-bit sub per
-  overflow layer at bits 9+3*(l-1);
+  layer-l source (win_local<<3 | sub, 9 bits) at bits 9*l for l < 3;
 - ``bl``    i32 [T,ceil(L/2),8,128]: boundary lanes, two layers per
   word — (end_lane | start_lane<<7) << (14*(k%2)), NO validity bits;
 - ``bs``    i32 [T,ceil(L/4),8,128]: boundary subs, four layers per
   word — (end_sub | start_sub<<4) << (8*(k%4));
-- ``base``  i32 [T]: the tile's window base (slab layer);
-- ``win``   i32 [T,l1-1]: window per overflow layer;
+- ``base``  i32 [T]: the tile's window base;
 - ``byt``   i32 [T,L]: y tile per boundary layer.
 """
 
@@ -82,11 +85,13 @@ TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 # the select tree is unrolled to the CLASS's W.
 TILE_BASE_NS = 53.0
 TILE_W_NS = 0.95  # per window of the tile's span beyond the first
-TILE_OV_NS = 2.2  # per pass-1 overflow (conflict) layer
+TILE_OV_NS = 2.5  # per extra pass-1 slab layer (window loads are
+# shared with layer 0, so extra layers do NOT pay the span tree again)
 TILE_BND_NS = 10.8  # per boundary layer (two-sided, validity-free)
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
 W_CAP = 64  # max window span per tile (6 bits in the gsub field)
-L1_CAP = 8  # pass-1 layers: 1 slab + up to 7 overflow (rank is 3 bits)
+L1_CAP = 5  # pass-1 slab layers: three 9-bit fields in gsub + two more
+# in the slot word's free bits (no extra stream DMA)
 L_CAP = 32  # boundary layers (band chains + conflict ranks)
 LAUNCH_NS = 3000.0  # per-stream kernel dispatch cost
 # the 8 lane-0 slots of every tile are reserved zero pads (see module
@@ -103,15 +108,15 @@ class RoutedStream:
     l1: int  # pass-1 layers (1 slab + overflow) this kernel unrolls
     lmax: int  # boundary layers this stream's kernel unrolls
     vals: np.ndarray  # f32 [T, 8, 128]
-    slot: np.ndarray  # i32 [T, 8, 128] at slot positions: lane | rank<<7
+    slot: np.ndarray  # i32 [T, 8, 128]: lane | rank<<7 at slot
+    # positions; layer-3/4 cell fields at bits 10/19
     gsub: np.ndarray  # i32 [T, 8, 128] at (row, source-lane) cells:
-    # rank-0 (win_local<<3 | sub) bits 0-8; overflow sub at 9+3*(l-1)
+    # layer-l source (win_local<<3 | sub) at bits 9*l, l < 3
     bl: np.ndarray  # i32 [T, ceil(lmax/2), 8, 128]: boundary lanes, two
     # layers per word — (end_lane | start_lane<<7) << (14*(k%2))
     bs: np.ndarray  # i32 [T, ceil(lmax/4), 8, 128]: boundary subs, four
     # layers per word — (end_sub | start_sub<<4) << (8*(k%4))
-    base: np.ndarray  # i32 [T]: window base per tile (slab layer)
-    win: np.ndarray  # i32 [T, max(l1-1, 0)]: window per overflow layer
+    base: np.ndarray  # i32 [T]: window base per tile
     byt: np.ndarray  # i32 [T, lmax]: y tile per boundary layer
     lt: np.ndarray  # i32 [T]: ACTUAL boundary layers per tile (kept for
     # diagnostics/cost analysis; the kernel runs every class-cap layer —
@@ -137,6 +142,9 @@ class RoutedPlan:
     residual_rows: np.ndarray  # demoted/evicted nnz (COO)
     residual_cols: np.ndarray
     residual_vals: np.ndarray
+    s3: Optional[RoutedStream] = None
+    s4: Optional[RoutedStream] = None
+    s5: Optional[RoutedStream] = None
     # rank-space execution (build_ranked_routed_plan): panel-local
     # degree-sort permutations.  When set, the streams/residual are in
     # rank space: the executor permutes x in (x_rank[base+k] =
@@ -145,9 +153,15 @@ class RoutedPlan:
     col_perms: Optional[list] = None
     row_perms: Optional[list] = None
 
+    MAX_STREAMS = 6
+
     @property
     def streams(self):
-        return [s for s in (self.s0, self.s1, self.s2) if s is not None]
+        return [
+            s
+            for s in (self.s0, self.s1, self.s2, self.s3, self.s4, self.s5)
+            if s is not None
+        ]
 
     @property
     def num_tiles(self) -> int:
@@ -281,7 +295,8 @@ def estimate_routed_cost_ns(
     # strip (distinct windows lower-bound the span)
     L_g = np.clip(np.ceil(gb / np.maximum(tiles_g, 1)) + 1, 1, l_cap)
     W_g = np.clip(gw, 1, min(strip_windows, W_CAP))
-    # +1 flat pass-1 overflow layer (calibrated conflict allowance)
+    # +1 flat pass-1 conflict layer allowance (extra layers share the
+    # window loads with layer 0 — measured ~2.2 ns each, W-independent)
     cost_g = tiles_g * (
         TILE_BASE_NS
         + TILE_W_NS * (W_g - 1)
@@ -346,6 +361,8 @@ def plan_cost_ns(plan: RoutedPlan) -> float:
     lmax layers and the full W select tree; padding adds exact zeros)."""
     t = 0.0
     for s in plan.streams:
+        # extra slab layers share the window loads with layer 0
+        # (measured: W=16 l1 2->4 costs ~1.5 ns, not another tree)
         t += LAUNCH_NS + s.num_tiles * (
             TILE_BASE_NS
             + TILE_W_NS * (s.wmax - 1)
@@ -361,7 +378,7 @@ def build_routed_plan(
     strip_windows: int = 0,
     l1_cap: int = L1_CAP,
     l_cap: int = L_CAP,
-    max_streams: int = 3,
+    max_streams: int = 6,
 ) -> RoutedPlan:
     """Build a routed plan; ``strip_windows=0`` (auto) ranks strip widths
     {2, 4, 8, 16, 32} by the cheap macro-cell estimate (wider strips raise
@@ -415,7 +432,7 @@ def _repack_residual_once(
     plan: RoutedPlan, strip_windows: int, l1_cap: int, l_cap: int
 ) -> RoutedPlan:
     nres = len(plan.residual_vals)
-    free = 3 - len(plan.streams)
+    free = RoutedPlan.MAX_STREAMS - len(plan.streams)
     if nres < 64 or free <= 0:
         return plan
     rcoo = COOMatrix(
@@ -436,14 +453,16 @@ def _repack_residual_once(
     if cost >= gain:
         return plan
     slots = plan.streams + rplan.streams
+    fields = {
+        f"s{i}": (slots[i] if i < len(slots) else None)
+        for i in range(RoutedPlan.MAX_STREAMS)
+    }
     return dataclasses.replace(
         plan,
-        s0=slots[0] if len(slots) > 0 else None,
-        s1=slots[1] if len(slots) > 1 else None,
-        s2=slots[2] if len(slots) > 2 else None,
         residual_rows=rplan.residual_rows,
         residual_cols=rplan.residual_cols,
         residual_vals=rplan.residual_vals,
+        **fields,
     )
 
 
@@ -452,7 +471,7 @@ def _build_routed_plan(
     strip_windows: int,
     l1_cap: int = L1_CAP,
     l_cap: int = L_CAP,
-    max_streams: int = 3,
+    max_streams: int = 6,
     w_cap: int = W_CAP,
 ) -> RoutedPlan:
     l1_cap = min(l1_cap, L1_CAP)  # the rank field is 3 bits
@@ -599,12 +618,13 @@ def _build_routed_plan(
             residual_rows=rr, residual_cols=rc, residual_vals=rv,
         )
 
-    # ---- pass-1 hybrid layering: slab cells + overflow conflict ranks ---
+    # ---- pass-1 slab layering: per-cell distinct-source ranks -----------
     # A composed two-level gather consults the sub grid at (target
     # sublane, SOURCE lane): per such CELL, one (window, sub) source per
-    # layer.  Layer 0 (the slab select tree) serves each cell's first
-    # source; further distinct sources on a cell ride overflow layers
-    # (one window per tile-layer, v3 chain machinery), capped at l1_cap.
+    # layer.  Every layer is a full select tree over the tile's span, so
+    # layer l simply serves each cell's l-th distinct source; ranks
+    # beyond l1_cap (three 9-bit fields per i32) are evicted and
+    # repacked into fresh tiles.
     src_lane = (p_cols % 128).astype(np.int64)
     src_sub = ((p_cols // 128) % 8).astype(np.int64)
     win_local = p_win - wmin_t[tile_of]
@@ -612,22 +632,7 @@ def _build_routed_plan(
     ridx = np.nonzero(real)[0]
     cell = (tile_of[ridx] * 8 + s_of[ridx]) * 128 + src_lane[ridx]
     gs = win_local[ridx] * 8 + src_sub[ridx]
-    rank0 = _distinct_rank(cell, gs, width=512)
-    layer1 = np.zeros(len(ridx), np.int64)
-    ov = np.nonzero(rank0 >= 1)[0]
-    uk1 = np.zeros(0, np.int64)
-    need1 = base1 = first1 = uk1
-    if len(ov):
-        twkey = tile_of[ridx[ov]] * np.int64(nwin) + p_win[ridx[ov]]
-        grp_ov = cell[ov] * np.int64(nwin) + p_win[ridx[ov]]
-        ovrank = _distinct_rank(grp_ov, src_sub[ridx[ov]], width=8)
-        uk1, inv1 = np.unique(twkey, return_inverse=True)
-        need1 = np.zeros(len(uk1), np.int64)
-        np.maximum.at(need1, inv1, ovrank + 1)
-        first1 = np.full(len(uk1), N, np.int64)
-        np.minimum.at(first1, inv1, ridx[ov])
-        base1 = _chain_bases(uk1 // nwin, uk1 % nwin, need1, first1)
-        layer1[ov] = 1 + base1[inv1] + ovrank
+    layer1 = _distinct_rank(cell, gs, width=512)
 
     evict1 = layer1 >= l1_cap
     if evict1.any():
@@ -640,21 +645,6 @@ def _build_routed_plan(
 
     l1_t = np.ones(T0, np.int64)
     np.maximum.at(l1_t, tile_of[ridx], layer1 + 1)
-    nov = l1_cap - 1
-    win_l = np.zeros((T0, nov), np.int32)
-    if len(uk1):
-        # scatter each overflow chain's window into its layer columns
-        ct = (uk1 // nwin).astype(np.int64)
-        cw = (uk1 % nwin).astype(np.int32)
-        reps = need1.astype(np.int64)
-        tt = np.repeat(ct, reps)
-        ll = np.repeat(base1, reps) + (
-            np.arange(int(reps.sum())) -
-            np.repeat(np.concatenate([[0], np.cumsum(reps)])[:-1], reps)
-        )
-        ww = np.repeat(cw, reps)
-        ok = ll < nov
-        win_l[tt[ok], ll[ok]] = ww[ok]
 
     # ---- row runs & boundary entries (two-sided, v3 machinery) ----------
     brk = np.ones(N, bool)
@@ -810,16 +800,17 @@ def _build_routed_plan(
         # force the reserved zero slots (P'[0,0] == 0 is what lets
         # boundary/start pointers skip validity bits entirely)
         vals_s[:, :, 0] = 0.0
-        # slot word at SLOT positions: lane | layer<<7
-        slot_s = np.zeros((Ts, 8, 128), np.uint32)
-        slot_s[st, ss, sj] = (
+        # slot word: lane | layer<<7 at SLOT positions (layer-3/4 cell
+        # fields are OR'd into bits 10/19 below — disjoint bit planes)
+        slot_s = np.zeros(Ts * TILE, np.uint32)
+        spos = (st * 8 + ss) * 128 + sj
+        slot_s[spos] = (
             src_lane[slot_sel] | (p_layer[slot_sel] << 7)
         ).astype(np.uint32)
-        slot_s = slot_s.view(np.int32)
-        # gsub word at (row, SOURCE-lane) cell positions: rank-0 source
-        # (win_local<<3 | sub) in bits 0-8, overflow subs at 9+3*(l-1).
-        # One vectorized OR-assign per layer: within a layer, cells are
-        # unique-or-equal by the rank construction.
+        # gsub word at (row, SOURCE-lane) cell positions: layer-l source
+        # (win_local<<3 | sub) at bits 9*l.  One vectorized OR-assign per
+        # layer: within a layer, cells are unique-or-equal by the rank
+        # construction.
         # The slab tree reads windows [base, base+sW): clamp base left so
         # the reads stay inside the executor's pow-2-padded x (edge tiles
         # whose span < the class span would otherwise read past the end);
@@ -835,18 +826,19 @@ def _build_routed_plan(
             (tmap[tile_of[ridx]] * 8 + s_of[ridx]) * 128
             + src_lane[ridx]
         )
-        m0 = rsel & (layer1 == 0)
-        gsub_s[cl[m0]] |= (
-            gs[m0] + 8 * delta[tmap[tile_of[ridx[m0]]]]
-        ).astype(np.uint32)
-        for l in range(1, sl1):
+        for l in range(sl1):
             ml = rsel & (layer1 == l)
-            if ml.any():
-                gsub_s[cl[ml]] |= (
-                    src_sub[ridx[ml]].astype(np.uint32)
-                    << np.uint32(9 + 3 * (l - 1))
-                )
+            if not ml.any():
+                continue
+            f = (gs[ml] + 8 * delta[tmap[tile_of[ridx[ml]]]]).astype(
+                np.uint32
+            )
+            if l < 3:
+                gsub_s[cl[ml]] |= f << np.uint32(9 * l)
+            else:  # layers 3-4 ride the slot word's free bits
+                slot_s[cl[ml]] |= f << np.uint32(10 + 9 * (l - 3))
         gsub_s = gsub_s.view(np.int32).reshape(Ts, 8, 128)
+        slot_s = slot_s.view(np.int32).reshape(Ts, 8, 128)
 
         # Bitfield accumulation for bl/bs: contributions are split into
         # CLASSES whose cells are unique (per-(cell, layer) dedup + one
@@ -925,14 +917,13 @@ def _build_routed_plan(
             num_tiles=Ts, wmax=sW, l1=sl1, lmax=sL,
             vals=vals_s, slot=slot_s, gsub=gsub_s, bl=bl_s, bs=bs_s,
             base=base_cl.astype(np.int32),
-            win=win_l[tiles, : max(sl1 - 1, 0)].astype(np.int32),
             byt=byt_l[tiles, :sL].astype(np.int32),
             lt=L_t[tiles].astype(np.int32),
         ))
 
     # costliest class last (cheap/large classes stream first)
     streams.sort(key=lambda s: _cls_cost(s.wmax, s.l1, s.lmax))
-    streams = streams[:3]
+    streams = streams[:RoutedPlan.MAX_STREAMS]
     if res_parts:
         rr = np.concatenate([p[0] for p in res_parts])
         rc = np.concatenate([p[1] for p in res_parts])
@@ -944,10 +935,11 @@ def _build_routed_plan(
 
     return RoutedPlan(
         shape=(R, C), nnz=coo.nnz, num_windows=nwin, num_ytiles=nyt,
-        s0=streams[0] if len(streams) > 0 else None,
-        s1=streams[1] if len(streams) > 1 else None,
-        s2=streams[2] if len(streams) > 2 else None,
         residual_rows=rr, residual_cols=rc, residual_vals=rv,
+        **{
+            f"s{i}": (streams[i] if i < len(streams) else None)
+            for i in range(RoutedPlan.MAX_STREAMS)
+        },
     )
 
 
@@ -956,7 +948,7 @@ def build_ranked_routed_plan(
     strip_windows: int = 0,
     l1_cap: int = L1_CAP,
     l_cap: int = L_CAP,
-    max_streams: int = 3,
+    max_streams: int = 6,
 ) -> RoutedPlan:
     """Routed plan in RANK SPACE: rows and columns degree-sorted (stable,
     panel-local) before planning, so power-law nonzeros concentrate into
@@ -1011,26 +1003,21 @@ def _stream_matvec_numpy(
         lane = (slot & 127).astype(np.int64)
         rank = ((slot >> 7) & 7).astype(np.int64)
         base = int(s.base[t])
-        # pass 1 layer 0: slab select tree over the span, then the
-        # composed lane gather
-        gs = (gsub & 511).astype(np.int64)
-        sub0 = gs & 7
-        vid = gs >> 3
-        acc = np.zeros((8, 128), np.float64)
-        for v in range(s.wmax):
-            win8 = x2d[(base + v) * 8 : (base + v) * 8 + 8]
-            g = win8[sub0, lanes[None, :]]
-            acc = np.where(vid == v, g, acc)
-        xg = np.take_along_axis(acc, lane, axis=1)
-        if s.l1 > 1:
-            xg = np.where(rank == 0, xg, 0.0)
-        # overflow layers: one window per tile-layer + 3-bit sub field
-        for l in range(1, s.l1):
-            w = int(s.win[t, l - 1])
-            win8 = x2d[w * 8 : w * 8 + 8]
-            sub = ((gsub >> (9 + 3 * (l - 1))) & 7).astype(np.int64)
-            t1 = win8[sub, lanes[None, :]]
-            g = np.take_along_axis(t1, lane, axis=1)
+        # pass 1: per layer, a slab select tree over the span, then the
+        # composed lane gather; the slot's rank picks its layer
+        xg = np.zeros((8, 128), np.float64)
+        for l in range(s.l1):
+            src_w = gsub if l < 3 else slot
+            sh = 9 * l if l < 3 else 10 + 9 * (l - 3)
+            gsl = ((src_w >> sh) & 511).astype(np.int64)
+            sub = gsl & 7
+            vid = gsl >> 3
+            acc = np.zeros((8, 128), np.float64)
+            for v in range(s.wmax):
+                win8 = x2d[(base + v) * 8 : (base + v) * 8 + 8]
+                g = win8[sub, lanes[None, :]]
+                acc = np.where(vid == v, g, acc)
+            g = np.take_along_axis(acc, lane, axis=1)
             xg = np.where(rank == l, g, xg)
         p = s.vals[t].astype(np.float64) * xg
         # pass 2: flat inclusive prefix
@@ -1171,7 +1158,7 @@ def build_banded_routed_plan(
     band_rows: int = BAND_ROWS,
     panel_cols: int = PANEL_COLS,
     strip_windows: int = 0,
-    max_streams: int = 3,
+    max_streams: int = 4,
 ) -> BandedRoutedPlan:
     """Partition ``coo`` into (band, panel) cells and build one RoutedPlan
     per non-empty cell.  ``rank_sort`` degree-sorts rows/cols FIRST

@@ -282,8 +282,8 @@ def test_residual_repack_reduces_scatter():
     from hispmv_tpu.plan import routed as RT
 
     coo = powerlaw_coo(4000, 4000, 120_000, seed=5, alpha=1.3)
-    pre = RT._build_routed_plan(coo, 4, 2, RT.L_CAP, 3)
-    post = RT._repack_residual(pre, 4, 2, RT.L_CAP)
+    pre = RT._build_routed_plan(coo, 4, 1, RT.L_CAP, 3)
+    post = RT._repack_residual(pre, 4, 1, RT.L_CAP)
     assert len(pre.residual_vals) > 10_000  # the cap really evicted
     assert len(post.residual_vals) < 0.3 * len(pre.residual_vals)
     assert RT.plan_cost_ns(post) < 0.5 * RT.plan_cost_ns(pre)
