@@ -257,6 +257,7 @@ def estimate_routed_cost_ns(
     shape: tuple,
     strip_windows: int = 4,
     l_cap: int = L_CAP,
+    conflict_sample: bool = False,
 ) -> dict:
     """Cheap (a few unique passes, no packing) estimate of a v4 routed
     plan's cost for the model-only DSE: mirrors the planner's macro-cell
@@ -305,8 +306,43 @@ def estimate_routed_cost_ns(
     )
     # demotion: groups whose per-nnz cost exceeds the element residual
     demote = cost_g > RESIDUAL_NS * gsz
+    # pass-1 conflict eviction: rank >= L1_CAP entries fall to the
+    # residual (the clustered-column failure mode that makes unranked
+    # R-MAT plans terrible).  Measured EXACTLY on a subsample of whole
+    # groups (uniform nnz sampling would thin the cells and hide the
+    # multiplicity), then extrapolated.
+    evict_frac = 0.0
+    keep_ids = np.nonzero(~demote)[0]
+    if conflict_sample and len(keep_ids):
+        kept_nnz = gsz[keep_ids]
+        order_g = np.argsort(-kept_nnz)
+        budget = min(int(kept_nnz.sum()), 600_000)
+        csum = np.cumsum(kept_nnz[order_g])
+        take = order_g[: max(int(np.searchsorted(csum, budget)), 1) + 1]
+        sample = np.zeros(ng, bool)
+        sample[keep_ids[take]] = True
+        sel = sample[gid[np.searchsorted(uc, mcell)]]
+        if sel.any():
+            rs, cs = rows[sel], cols[sel]
+            mcs = mcell[sel]
+            o = np.lexsort((cs, rs, mcs))
+            rs, cs = rs[o], cs[o]
+            # approximate slot layout: 127-lane payload packing per group
+            grp_s = np.searchsorted(np.unique(mcs), mcs[o])
+            first = np.concatenate(
+                [[0], np.cumsum(np.bincount(grp_s))]
+            )[:-1]
+            within = np.arange(len(rs)) - first[grp_s]
+            slot = within % PAYLOAD
+            srow = slot // 127
+            tile_s = grp_s * np.int64(1 << 20) + within // PAYLOAD
+            cellk = (tile_s * 8 + srow) * 128 + cs % 128
+            gsk = (cs // WINDOW) * 8 + (cs // 128) % 8
+            rk = _distinct_rank(cellk, gsk, width=8 * nwin)
+            evict_frac = float((rk >= L1_CAP).mean())
     est = float(cost_g[~demote].sum()) \
-        + RESIDUAL_NS * float(gsz[demote].sum()) + 2 * LAUNCH_NS
+        + RESIDUAL_NS * float(gsz[demote].sum()) + 2 * LAUNCH_NS \
+        + RESIDUAL_NS * evict_frac * float(gsz[~demote].sum())
     tiles = int(tiles_g[~demote].sum())
     lbar = float((tiles_g[~demote] * L_g[~demote]).sum()) / max(tiles, 1)
     # per-slot words: vals + slot + gsub + bl (2 layers/word) + bs (4)
@@ -343,13 +379,25 @@ def best_routed_estimate(
 ) -> dict:
     """Cheapest ``estimate_routed_cost_ns`` over the auto strip widths —
     the estimate the DSE should use, mirroring build_routed_plan's auto
-    mode."""
-    return min(
+    mode.  The pass-1 conflict-eviction sample (the term that separates
+    ranked from unranked plans on clustered matrices) is only measured
+    for the two cheapest strip widths — it costs a sample sort."""
+    ests = sorted(
         (
             estimate_routed_cost_ns(
                 rows, cols, shape, strip_windows=sw, l_cap=l_cap
+            )["est_ns"],
+            sw,
+        )
+        for sw in (2, 4, 8, 16, 32)
+    )
+    return min(
+        (
+            estimate_routed_cost_ns(
+                rows, cols, shape, strip_windows=sw, l_cap=l_cap,
+                conflict_sample=True,
             )
-            for sw in (2, 4, 8, 16, 32)
+            for _, sw in ests[:2]
         ),
         key=lambda e: e["est_ns"],
     )

@@ -76,7 +76,25 @@ class TuneResult:
 # changes (new kernel codegen, layer caps, ...) so cached MEASURED winners
 # from the previous generation are re-evaluated.  The cost-model constants
 # are hashed separately (profile hash in tune()).
-KERNEL_GEN = 3  # gen 3: v3 zero-lane routed streams, 32-layer caps, auto strips
+def _kernel_gen() -> str:
+    """Cache-key tag derived from the planner/kernel/cost sources: any
+    change to the formats or the cost model invalidates cached tuning
+    results automatically (a hand-bumped integer once went stale)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for rel in (
+        "plan/routed.py", "plan/blocks.py", "plan/windows.py",
+        "plan/split.py", "ops/spmv_routed.py", "ops/spmv_chunked.py",
+        "ops/spmv_ellx.py", "ops/spmv_windowed.py", "tune/cost.py",
+    ):
+        with open(os.path.join(root, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:8]
+
+
+KERNEL_GEN = None  # resolved lazily by _kernel_gen()
 
 
 def matrix_fingerprint(coo: COOMatrix) -> str:
@@ -204,7 +222,7 @@ class DSE:
         rb8 = coo.rows.astype(np.int64) // 8
         uk8 = np.unique(rb8 * ncb + coo.cols // LANES)
         uk_rb8, uk_cb = uk8 // ncb, uk8 % ncb
-        for bh in (8, 16, 32, 64):
+        for bh in (8, 16, 32, 64, 128):
             if bh == 8:
                 nb = len(uk8)
             else:
@@ -237,7 +255,7 @@ class DSE:
         )
         us_rb8 = us8 // (np.int64(nwin) * LANES * SEGS)
         us_rest = us8 % (np.int64(nwin) * LANES * SEGS)
-        for bh in (8, 16, 32, 64):
+        for bh in (8, 16, 32, 64, 128):
             merged = (us_rb8 // (bh // 8)) * (np.int64(nwin) * LANES * SEGS)
             merged = merged + us_rest
             u = np.unique(merged) if bh > 8 else us8 if bh == 8 else None
@@ -586,7 +604,8 @@ def tune(
             repr(dataclasses.astuple(profile)).encode()
         ).hexdigest()[:8]
         key = (
-            f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}:g{KERNEL_GEN}"
+            f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}"
+            f":g{_kernel_gen()}"
         )
         if os.path.exists(cache_path):
             with open(cache_path) as f:
