@@ -331,7 +331,7 @@ def main():
     signal.signal(signal.SIGINT, _finish)
 
     t_start = time.time()
-    per_matrix_cap = float(os.environ.get("HISPMV_BENCH_MATRIX_S", "280"))
+    per_matrix_cap = float(os.environ.get("HISPMV_BENCH_MATRIX_S", "520"))
     # The 30M-nnz suite members (soc-Pokec, mouse_gene, PFlow_742) need
     # minutes of one-time planning on a cold cache; give them a larger
     # cap pro-rated by nnz so first runs complete (warm-cache runs finish

@@ -1178,21 +1178,103 @@ class SpmvHandle:
                 return y if bias is None else y + bias[None, :]
 
         elif fmt == "routed":
-            # v1: per-vector loop over the single-vector runner (the
-            # routed stream is re-consumed per vector; batched MXU variant
-            # is future work — ellx/block handle the batched-heavy cases)
-            if self._runner is None:
-                self._runner = self._make_runner()
-            single = self._runner
+            rmeta = self._routed_meta
+            if (
+                rmeta.get("cells") is not None
+                or rmeta.get("xperm") is not None
+            ):
+                # banded grids slice x at per-cell offsets and rank-space
+                # plans run per-vector permute kernels: keep the
+                # per-vector loop for these (DNN-layer matrices are
+                # VMEM-feasible and un-ranked in practice)
+                if self._runner is None:
+                    self._runner = self._make_runner()
+                single = self._runner
 
-            def run(d, xb, bias):
-                ys = [
-                    single(d, xb[b], None, jnp.float32(1.0),
-                           jnp.float32(0.0))
-                    for b in range(xb.shape[0])
-                ]
-                y = jnp.stack(ys)
-                return y if bias is None else y + bias[None, :]
+                def run(d, xb, bias):
+                    ys = [
+                        single(d, xb[b], None, jnp.float32(1.0),
+                               jnp.float32(0.0))
+                        for b in range(xb.shape[0])
+                    ]
+                    y = jnp.stack(ys)
+                    return y if bias is None else y + bias[None, :]
+
+            else:
+                # panel-batched kernel: the stream is DMA'd once per
+                # panel of P vectors (x[P] + y[P] VMEM-resident), the
+                # runLinear stream-reuse contract
+                # (fpga_handle.cpp:323-388)
+                from hispmv_tpu.ops.spmv_routed import (
+                    spmv_routed_stream_batched_pallas,
+                    stream_array_names,
+                )
+
+                nwinp, nytp = rmeta["nwinp"], rmeta["nytp"]
+                per_vec = (nwinp + nytp) * 8 * LANES * 4
+                panel_b = max(
+                    1, min(8, int(6 * 2**20 // max(per_vec, 1)))
+                )
+                res_plan = rmeta["res"]
+                res_coo = rmeta["res_coo"]
+                rchunk, res_ov = rmeta["rchunk"], rmeta["res_ov"]
+
+                def run(d, xb, bias):
+                    B = xb.shape[0]
+                    Bp = -(-B // panel_b) * panel_b
+                    need = nwinp * 1024
+                    xp = jnp.pad(
+                        xb, ((0, Bp - B), (0, need - xb.shape[1]))
+                    )
+                    ys = []
+                    for b0 in range(0, Bp, panel_b):
+                        xpan = xp[b0 : b0 + panel_b]  # [P, need]
+                        xb2d = xpan.reshape(-1, LANES)
+                        y2d = None
+                        for i, segs in enumerate(rmeta["streams"]):
+                            for gi, sm in enumerate(segs):
+                                names = stream_array_names(sm["dims"][2])
+                                p = f"s{i}g{gi}_"
+                                packed = tuple(
+                                    d[p + n] for n in names
+                                ) + (d[p + "base"], d[p + "byt"],
+                                     d[p + "lt"])
+                                yseg = spmv_routed_stream_batched_pallas(
+                                    packed, sm["dims"], xb2d, nytp,
+                                    panel_b, interpret=interp,
+                                )
+                                y2d = (
+                                    yseg if y2d is None else y2d + yseg
+                                )
+                        if y2d is None:
+                            yp = jnp.zeros(
+                                (panel_b, nytp * 1024), jnp.float32
+                            )
+                        else:
+                            yp = y2d.reshape(panel_b, -1)
+                        if "r_rows" in d:  # small residual: scatter
+                            contrib = d["r_vals"][None, :] * jnp.take(
+                                xpan, d["r_cols"], axis=1
+                            )
+                            yp = yp.at[:, d["r_rows"]].add(contrib)
+                        if res_plan is not None:  # large residual: ELLX
+                            rd = {
+                                "base_data": d["r_base_data"],
+                                "base_cols": d["r_base_cols"],
+                            }
+                            if "r_odata" in d:
+                                rd["odata"] = d["r_odata"]
+                                rd["ometa"] = d["r_ometa"]
+                                rd["ov_expand"] = d["r_ov_expand"]
+                            xt = xpan.T.reshape(-1, LANES, panel_b)
+                            yr = ellx_matvec_batched(
+                                rd, xt, res_plan.num_row_blocks, 1,
+                                rchunk, res_ov, interpret=interp,
+                            ).reshape(-1, panel_b)[:R]  # [R, P]
+                            yp = yp.at[:, :R].add(yr.T)
+                        ys.append(yp[:, :R])
+                    y = jnp.concatenate(ys, axis=0)[:B]
+                    return y if bias is None else y + bias[None, :]
 
         elif fmt == "window":
             from hispmv_tpu.ops.spmv_windowed import (

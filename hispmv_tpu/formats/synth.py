@@ -169,6 +169,8 @@ def blocked_coo(
     seed: int = 0,
     group: int = 8,
     density: float = 0.7,
+    width_sigma: float = 0.0,
+    spread_frac: float = 0.0,
 ) -> COOMatrix:
     """FEM-stiffness-style matrix (nd6k, crankseg_2, ... profile): groups of
     ``group`` consecutive rows share a contiguous column window near the
@@ -186,12 +188,32 @@ def blocked_coo(
         0,
         max(0, cols - width),
     )
-    fill = max(1, int(group * width * density))
-    rr = rng.integers(0, group, size=(ngroups, fill))
-    cc = rng.integers(0, width, size=(ngroups, fill))
-    g = np.arange(ngroups, dtype=np.int64)
-    r = (g[:, None] * group + rr).ravel()
-    c = (base[:, None] + cc).ravel()
+    # lognormal per-group size variation (width_sigma > 0): real FEM
+    # meshes mix element types, so row-group loads vary — the uniform
+    # generator under-stressed the reference balancer by ~25%
+    # (benchmarks/fidelity.py)
+    scale = (
+        np.exp(rng.normal(0.0, width_sigma, size=ngroups))
+        if width_sigma else np.ones(ngroups)
+    )
+    scale = scale / scale.mean()
+    if spread_frac:
+        # ND/dissection-style long-range coupling: a fraction of groups
+        # sit at random column positions instead of near the diagonal
+        # (validated against the reference cycle model: the purely banded
+        # generator under-stressed its tiling by ~25-30%)
+        far = rng.random(ngroups) < spread_frac
+        base[far] = rng.integers(
+            0, max(cols - width, 1), int(far.sum())
+        )
+    fills = np.maximum(
+        (group * width * density * scale).astype(np.int64), 1
+    )
+    g = np.repeat(np.arange(ngroups, dtype=np.int64), fills)
+    rr = rng.integers(0, group, size=len(g))
+    cc = rng.integers(0, width, size=len(g))
+    r = g * group + rr
+    c = base[g] + cc
     ok = (r < rows) & (c < cols)
     r, c = r[ok], c[ok]
     key = r * cols + c
@@ -248,6 +270,8 @@ def rmat_coo(
     a: float = 0.57,
     b: float = 0.19,
     c: float = 0.19,
+    row_cap: int = 0,
+    mix_uniform: float = 0.0,
 ) -> COOMatrix:
     """R-MAT / Kronecker graph generator (Graph500 defaults).
 
@@ -285,6 +309,30 @@ def rmat_coo(
     if len(keys) > nnz:
         keys = rng.choice(keys, size=nnz, replace=False)
     r, cc = keys // cols, keys % cols
+    if mix_uniform:
+        # blend in uniform edges: the pure-R-MAT BODY degree distribution
+        # over-concentrates per-PE loads relative to the real matrices
+        # (validated against the reference cycle model on the real
+        # matrices' own predicted cycle counts, benchmarks/fidelity.py)
+        m = rng.random(len(r)) < mix_uniform
+        nm = int(m.sum())
+        r = r.copy()
+        cc = cc.copy()
+        r[m] = rng.integers(0, rows, nm)
+        cc[m] = rng.integers(0, cols, nm)
+    if row_cap:
+        # real graphs have BOUNDED max degree (the R-MAT tail overshoots
+        # it): excess entries of rows above the cap are reassigned to
+        # uniform random rows
+        deg = np.bincount(r, minlength=rows)
+        order = np.argsort(r, kind="stable")
+        pos = np.empty(len(r), np.int64)
+        pos[order] = np.arange(len(r)) - np.repeat(
+            np.concatenate([[0], np.cumsum(deg)])[:-1], deg
+        )
+        over = pos >= row_cap
+        r = r.copy()
+        r[over] = rng.integers(0, rows, int(over.sum()))
     v = rng.standard_normal(len(r)).astype(np.float32)
     v[v == 0] = 1.0
     return COOMatrix((rows, cols), r, cc, v)

@@ -198,3 +198,4 @@ def pack_blocks(
     finally:
         lib.pack_blocks_free(ctx)
     return block_rows, block_cols, data
+

@@ -252,3 +252,4 @@ long long greedy_cell_merge(const int64_t* strip, const int64_t* bc,
 }
 
 }  // extern "C"
+

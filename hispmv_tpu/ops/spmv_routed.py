@@ -373,3 +373,163 @@ def spmv_routed_stream_pallas(
             transcendentals=0,
         ),
     )(base, byt, lt, vals, slot, gsub, bl, bs, x2d)
+
+
+def _routed_kernel_batched(
+    base_ref,  # i32 [Tp] scalar prefetch: window base per tile
+    byt_ref,  # i32 [Tp*lp] scalar prefetch: y tile per boundary layer
+    lt_ref,  # i32 [Tp] diagnostics (unused; see _routed_kernel)
+    *refs,
+    tchunk: int,
+    W: int,
+    l1: int,
+    lmax: int,
+    B: int,
+    nwinp: int,
+    nytp: int,
+):
+    """Panel-batched variant of ``_routed_kernel``: the stream chunk is
+    DMA'd ONCE and executed against B x vectors living at static offsets
+    in one VMEM-resident array (the runLinear stream-reuse contract,
+    fpga_handle.cpp:323-388).  Compute scales with B; stream traffic does
+    not."""
+    vals_ref, slot_ref, gsub_ref, bl_ref, bs_ref, x_ref, y_ref = refs
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    M = tchunk * 8
+    npair = -(-lmax // 2)
+    nquad = -(-lmax // 4)
+    iota_l = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+    upper = (iota_l <= iota_c).astype(jnp.float32)
+    iml = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    imc = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    bd_strict = (
+        (imc < iml) & ((imc // 8) == (iml // 8))
+    ).astype(jnp.float32)
+
+    def products(j, b):
+        slot = slot_ref[0, j * 8 : (j + 1) * 8, :]
+        gsub = gsub_ref[0, j * 8 : (j + 1) * 8, :]
+        vals = vals_ref[0, j * 8 : (j + 1) * 8, :]
+        lane = slot & 127
+        rank = _srl(slot, 7) & 7
+        base = base_ref[i * tchunk + j]
+        xg = jnp.zeros((8, LANES), jnp.float32)
+        for l in range(l1):
+            gs = (
+                _srl(gsub, 9 * l) if l < 3
+                else _srl(slot, 10 + 9 * (l - 3))
+            ) & 511
+            sub = gs & 7
+            vid = _srl(gs, 3)
+            acc = jnp.zeros((8, LANES), jnp.float32)
+            for v in range(W):
+                win8 = x_ref[pl.ds((b * nwinp + base + v) * 8, 8), :]
+                g = jnp.take_along_axis(win8, sub, axis=0)
+                acc = jnp.where(vid == v, g, acc) if W > 1 else g
+            g = jnp.take_along_axis(acc, lane, axis=1)
+            xg = g if l1 == 1 else jnp.where(rank == l, g, xg)
+        return vals * xg
+
+    for b in range(B):
+        pall = jnp.concatenate(
+            [products(j, b) for j in range(tchunk)], axis=0
+        )
+        incl = jax.lax.dot_general(
+            pall, upper, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        rowsum = incl[:, 127:128]
+        carry = jax.lax.dot_general(
+            bd_strict, rowsum, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        pf_all = incl + carry
+        for j in range(tchunk):
+            pf = pf_all[j * 8 : (j + 1) * 8, :]
+            for k in range(lmax):
+                offp = (j * npair + k // 2) * 8
+                raw = _srl(bl_ref[0, offp : offp + 8, :], 14 * (k % 2))
+                offq = (j * nquad + k // 4) * 8
+                q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
+                ga = jnp.take_along_axis(
+                    jnp.take_along_axis(pf, q & 7, axis=0),
+                    raw & 127, axis=1,
+                )
+                gb = jnp.take_along_axis(
+                    jnp.take_along_axis(pf, _srl(q, 4) & 7, axis=0),
+                    _srl(raw, 7) & 127, axis=1,
+                )
+                yt = byt_ref[(i * tchunk + j) * lmax + k]
+                off = b * nytp + yt
+                prev = y_ref[pl.ds(off * 8, 8), :]
+                y_ref[pl.ds(off * 8, 8), :] = prev + ga - gb
+
+
+def spmv_routed_stream_batched_pallas(
+    packed,  # arrays from pack_stream (without the dims tuple)
+    dims,  # (nch, tchunk, W, l1, lp)
+    xb2d: jax.Array,  # f32 [B*nwinp*8, 128]: B stacked padded x vectors
+    num_ytiles: int,
+    B: int,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run one routed stream against a PANEL of B vectors; returns
+    y f32 [B*nyt*8, 128].  The stream is DMA'd once per chunk for the
+    whole panel."""
+    nch, tchunk, W, l1, lmax = dims
+    vals, slot, gsub, bl, bs, base, byt, lt = packed
+    npair = -(-lmax // 2)
+    nquad = -(-lmax // 4)
+    nwinp = xb2d.shape[0] // (8 * B)
+
+    def spec(rows):
+        return pl.BlockSpec(
+            (1, rows, LANES),
+            lambda i, b, t, lt_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [
+        spec(tchunk * 8), spec(tchunk * 8), spec(tchunk * 8),
+        spec(tchunk * npair * 8), spec(tchunk * nquad * 8),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # x panel resident
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nch,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (B * num_ytiles * 8, LANES),
+            lambda i, b, t, lt_: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _routed_kernel_batched, tchunk=tchunk, W=W, l1=l1, lmax=lmax,
+        B=B, nwinp=nwinp, nytp=num_ytiles,
+    )
+    nbytes = int(
+        vals.size + slot.size + gsub.size + bl.size + bs.size
+    ) * 4
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B * num_ytiles * 8, LANES), jnp.float32
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * int(vals.size) * B,
+            bytes_accessed=nbytes + xb2d.size * 4,
+            transcendentals=0,
+        ),
+    )(base, byt, lt, vals, slot, gsub, bl, bs, xb2d)

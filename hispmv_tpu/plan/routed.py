@@ -602,7 +602,8 @@ def _build_routed_plan(
     p_cols[l0] = p_cols[l0 + 1]
 
     # ---- per-tile stats + demotion to residual --------------------------
-    tile_of = np.arange(N) // TILE
+    aridx = np.arange(N)
+    tile_of = aridx // TILE
     p_win = p_cols // WINDOW
     p_band = p_rows // WINDOW
     real = ~pad
@@ -644,7 +645,8 @@ def _build_routed_plan(
         real = ~pad
         N = len(p_rows)
         T0 = N // TILE
-        tile_of = np.arange(N) // TILE
+        aridx = np.arange(N)
+        tile_of = aridx // TILE
         p_win = p_cols // WINDOW
         p_band = p_rows // WINDOW
         nnz_t, wmin_t, span_t, band_t = tile_stats(
@@ -673,10 +675,11 @@ def _build_routed_plan(
     # layer l simply serves each cell's l-th distinct source; ranks
     # beyond l1_cap (three 9-bit fields per i32) are evicted and
     # repacked into fresh tiles.
-    src_lane = (p_cols % 128).astype(np.int64)
-    src_sub = ((p_cols // 128) % 8).astype(np.int64)
+    src_lane = p_cols % 128
+    src_sub = (p_cols // 128) % 8
     win_local = p_win - wmin_t[tile_of]
-    s_of = (np.arange(N) % TILE) // 128
+    j_of = aridx % 128
+    s_of = (aridx % TILE) // 128
     ridx = np.nonzero(real)[0]
     cell = (tile_of[ridx] * 8 + s_of[ridx]) * 128 + src_lane[ridx]
     gs = win_local[ridx] * 8 + src_sub[ridx]
@@ -696,7 +699,7 @@ def _build_routed_plan(
 
     # ---- row runs & boundary entries (two-sided, v3 machinery) ----------
     brk = np.ones(N, bool)
-    brk[1:] = (p_rows[1:] != p_rows[:-1]) | (np.arange(1, N) % TILE == 0)
+    brk[1:] = (p_rows[1:] != p_rows[:-1]) | (aridx[1:] % TILE == 0)
     starts = np.nonzero(brk)[0]
     ends = np.concatenate([starts[1:], [N]]) - 1
     run_rows = p_rows[starts]
@@ -841,7 +844,7 @@ def _build_routed_plan(
         slot_sel = tmap[tile_of] >= 0
         st = tmap[tile_of[slot_sel]]
         ss = s_of[slot_sel]
-        sj = (np.arange(N) % 128)[slot_sel]
+        sj = j_of[slot_sel]
 
         vals_s = np.zeros((Ts, 8, 128), np.float32)
         vals_s[st, ss, sj] = p_vals[slot_sel]

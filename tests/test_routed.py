@@ -373,3 +373,37 @@ def test_banded_routed_handle_and_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(h2.run(x)), want, rtol=1e-3, atol=1e-4
     )
+
+
+def test_routed_batched_linear_panels():
+    """Batched routed linear: the panel-batched kernel (stream DMA'd once
+    per panel, runLinear contract fpga_handle.cpp:323-388) must match
+    scipy for B above and below the panel size, with bias."""
+    from hispmv_tpu.api import SpmvHandle
+
+    coo = banded_coo(2000, 2000, 20_000, seed=60)
+    h = SpmvHandle(coo, format="routed", interpret=True)
+    rng = np.random.default_rng(61)
+    for B in (2, 9):  # below / above one panel
+        xb = rng.standard_normal((B, 2000)).astype(np.float32)
+        bias = rng.standard_normal(2000).astype(np.float32)
+        got = np.asarray(h.linear(xb, bias=bias))
+        want = (coo.to_scipy() @ xb.astype(np.float64).T).T + bias
+        np.testing.assert_allclose(
+            got, want.astype(np.float32), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_routed_batched_linear_with_residual():
+    """The batched path must include both residual executors."""
+    from hispmv_tpu.api import SpmvHandle
+
+    coo = random_coo(1200, 1500, 10_000, seed=62)
+    h = SpmvHandle(coo, format="routed", interpret=True)
+    rng = np.random.default_rng(63)
+    xb = rng.standard_normal((3, 1500)).astype(np.float32)
+    got = np.asarray(h.linear(xb))
+    want = (coo.to_scipy() @ xb.astype(np.float64).T).T
+    np.testing.assert_allclose(
+        got, want.astype(np.float32), rtol=1e-3, atol=1e-3
+    )
