@@ -148,14 +148,16 @@ def bench_matrix(name: str, scale: float) -> dict:
     # (plan/serialize.py) instead of re-planning.  Best-effort.
     from hispmv_tpu.plan.serialize import load_plan, save_plan
 
+    from hispmv_tpu.formats.synth import _SYNTH_VERSION
+
     rs_tag = "-rs" if getattr(res.config, "rank_sort", False) else ""
     # Cache tag derived from the planner+kernel SOURCE hash: any change to
     # the stream layout or kernel code automatically invalidates both the
     # plan cache and the serialized-executable cache (a hand-bumped
     # version string silently resurrected stale kernels once).
     cfg_tag0 = (
-        f"{_code_tag()}-{res.format}-bh{res.config.block_h}"
-        f"-{res.config.value_dtype}{rs_tag}"
+        f"{_code_tag()}-f{_SYNTH_VERSION}-{res.format}"
+        f"-bh{res.config.block_h}-{res.config.value_dtype}{rs_tag}"
     )
     os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
     plan_cache = f"/tmp/hispmv_plan_cache/{name}-{scale}-{cfg_tag0}.npz"

@@ -69,19 +69,37 @@ class MatrixProfile:
 #   gene network       -> rmat   (clustered correlation graph)
 #   circuit / KKT opt  -> arrowhead (band + scattered dense rows/cols)
 SUITE_PROFILES = {
-    "TSOPF_RS_b2383": MatrixProfile("TSOPF_RS_b2383", 38120, 38120, 16_171_169, "blocked"),
+    "TSOPF_RS_b2383": MatrixProfile(
+        "TSOPF_RS_b2383", 38120, 38120, 16_171_169, "blocked",
+        (("spread_frac", 0.5),),
+    ),
     "mouse_gene": MatrixProfile(
         "mouse_gene", 45101, 45101, 28_967_291, "rmat",
         (("a", 0.45), ("b", 0.22), ("c", 0.22)),
     ),
-    "nd6k": MatrixProfile("nd6k", 18000, 18000, 6_897_316, "blocked"),
-    "crankseg_2": MatrixProfile("crankseg_2", 63838, 63838, 14_148_858, "blocked"),
-    "thread": MatrixProfile("thread", 29736, 29736, 4_444_880, "blocked"),
+    "nd6k": MatrixProfile(
+        "nd6k", 18000, 18000, 6_897_316, "blocked",
+        (("spread_frac", 0.5),),
+    ),
+    "crankseg_2": MatrixProfile(
+        "crankseg_2", 63838, 63838, 14_148_858, "blocked",
+        (("spread_frac", 0.4),),
+    ),
+    "thread": MatrixProfile(
+        "thread", 29736, 29736, 4_444_880, "blocked",
+        (("spread_frac", 0.4),),
+    ),
     "crystk03": MatrixProfile("crystk03", 24696, 24696, 1_751_178, "banded"),
-    "Si41Ge41H72": MatrixProfile("Si41Ge41H72", 185639, 185639, 15_011_265, "blocked"),
+    "Si41Ge41H72": MatrixProfile(
+        "Si41Ge41H72", 185639, 185639, 15_011_265, "blocked",
+        (("spread_frac", 0.3),),
+    ),
     "PFlow_742": MatrixProfile("PFlow_742", 742793, 742793, 37_138_461, "banded"),
     "lowThrust_7": MatrixProfile("lowThrust_7", 17378, 17378, 214_573, "banded"),
-    "soc-Pokec": MatrixProfile("soc-Pokec", 1632803, 1632803, 30_622_564, "rmat"),
+    "soc-Pokec": MatrixProfile(
+        "soc-Pokec", 1632803, 1632803, 30_622_564, "rmat",
+        (("mix_uniform", 0.85),),
+    ),
     "hangGlider_3": MatrixProfile("hangGlider_3", 10260, 10260, 92_703, "banded"),
     "c-52": MatrixProfile("c-52", 23948, 23948, 202_708, "arrowhead"),
     "nxp1": MatrixProfile("nxp1", 414604, 414604, 2_655_880, "arrowhead"),
@@ -96,7 +114,10 @@ SUITE_PROFILES = {
         "boyd2", 466316, 466316, 1_500_397, "arrowhead",
         (("hub_frac", 5e-4), ("hub_share", 0.25)),
     ),
-    "language": MatrixProfile("language", 399130, 399130, 1_216_334, "rmat"),
+    "language": MatrixProfile(
+        "language", 399130, 399130, 1_216_334, "rmat",
+        (("mix_uniform", 0.9),),
+    ),
     "poli_large": MatrixProfile("poli_large", 15575, 15575, 33_074, "random"),
 }
 
@@ -406,7 +427,7 @@ def arrowhead_coo(
 
 
 # bump when generator structure changes (invalidates the on-disk cache)
-_SYNTH_VERSION = 3
+_SYNTH_VERSION = 4
 
 _GENERATORS = {
     "random": random_coo,
