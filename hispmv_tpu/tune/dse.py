@@ -182,7 +182,7 @@ def count_blocks(
 
 def _label_format(label: str) -> str:
     """Candidate label -> handle format name."""
-    stem = label.replace("-bf16", "")
+    stem = label.replace("-bf16", "").replace("-cr", "")
     if stem in ("dense", "stream", "split", "routed", "routed-rank"):
         return "routed" if stem == "routed-rank" else stem
     if stem.startswith("ellx"):
@@ -222,6 +222,20 @@ class DSE:
         rb8 = coo.rows.astype(np.int64) // 8
         uk8 = np.unique(rb8 * ncb + coo.cols // LANES)
         uk_rb8, uk_cb = uk8 // ncb, uk8 % ncb
+        # column-reorder axis: a degree-descending column permutation
+        # concentrates hub columns into few blocks (the reference DSE
+        # walks its whole config space, dse.py:48-88; this is ours).
+        # Evaluated at block_h=8 via the permuted unique-key count; a
+        # "-cr" candidate is emitted only when it models >= 10% fewer
+        # units than the identity ordering.
+        from hispmv_tpu.plan.blocks import degree_column_perm
+
+        cr_perm = degree_column_perm(coo)
+        cr_rank = np.empty(C, np.int64)
+        cr_rank[cr_perm] = np.arange(C)
+        cr_cols = cr_rank[coo.cols.astype(np.int64)]
+        uk8_cr = np.unique(rb8 * ncb + cr_cols // LANES)
+        cr_gain = len(uk8_cr) < 0.9 * len(uk8)
         for bh in (8, 16, 32, 64, 128):
             if bh == 8:
                 nb = len(uk8)
@@ -236,6 +250,15 @@ class DSE:
             cands.append(
                 (f"block{bh}", t32, dataclasses.replace(base, block_h=bh))
             )
+            if cr_gain and bh == 8:
+                nb_cr = max(len(uk8_cr), -(-R // bh))
+                cands.append((
+                    "block8-cr",
+                    self.model.block_seconds(nb_cr, bh, R, C),
+                    dataclasses.replace(
+                        base, block_h=bh, col_reorder=True
+                    ),
+                ))
             t16 = self.model.block_seconds_bf16(nb, bh, R, C)
             if t16 < t32 * 0.95:  # only when meaningfully DMA-bound
                 cands.append(
@@ -318,6 +341,21 @@ class DSE:
             cands.append(
                 (f"ellx{bh}", t, dataclasses.replace(base, block_h=bh))
             )
+            if cr_gain and bh == 8:
+                cnt_cr = np.bincount(
+                    (uk8_cr // ncb).astype(np.int64), minlength=nrb
+                )
+                k_cr = choose_k_base(cnt_cr, bh)
+                ov_cr = int(np.maximum(cnt_cr - k_cr, 0).sum())
+                base_cr = nrb * k_cr * (bh * LANES * 4 + 4)
+                if self.model.fits(base_cr):
+                    cands.append((
+                        "ellx8-cr",
+                        self.model.ellx_seconds(base_cr, ov_cr, R, C),
+                        dataclasses.replace(
+                            base, block_h=bh, col_reorder=True
+                        ),
+                    ))
 
         # Split (hub rows/cols dense + ELLX body) — the load-balance
         # (HI crossbar) analog for power-law/arrowhead matrices.
@@ -541,13 +579,17 @@ def measure_candidates(
             cfg = dataclasses.replace(result.config, block_h=1)
         else:
             bf16 = label.endswith("-bf16")
-            stem = label.replace("-bf16", "")
+            stem = label.replace("-bf16", "").replace("-cr", "")
             bh = int("".join(c for c in stem if c.isdigit()))
             cfg = dataclasses.replace(
                 result.config, block_h=bh,
                 value_dtype="bfloat16" if bf16 else "float32",
+                col_reorder=label.endswith("-cr"),
             )
-        key = (fmt, cfg.block_h, cfg.value_dtype, cfg.rank_sort)
+        key = (
+            fmt, cfg.block_h, cfg.value_dtype, cfg.rank_sort,
+            cfg.col_reorder,
+        )
         if key in seen_cfg:
             continue
         seen_cfg.add(key)
