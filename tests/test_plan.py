@@ -141,3 +141,30 @@ def test_suite_matrix_cache_roundtrip(tmp_path):
     assert a.nnz == b.nnz
     np.testing.assert_array_equal(a.rows, b.rows)
     np.testing.assert_array_equal(a.values, b.values)
+
+
+def test_fidelity_mirror_smoke():
+    """The reference-cycle-model mirror (benchmarks/fidelity.py) must
+    reproduce basic invariants on a tiny matrix: PA configs cost the
+    balanced max load (no II expansion), non-PA configs expand by
+    II_DIST, and HI balancing never exceeds the unbalanced max."""
+    import sys
+
+    sys.path.insert(0, "benchmarks")
+    import numpy as np
+
+    from fidelity import REF, predict_cycles
+    from hispmv_tpu.formats.matrix import COOMatrix
+
+    rng = np.random.default_rng(0)
+    rows = rng.integers(0, 4000, 30_000).astype(np.int64)
+    cols = rng.integers(0, 4000, 30_000).astype(np.int64)
+    coo = COOMatrix((4000, 4000), rows, cols,
+                    np.ones(30_000, np.float32))
+    pa = predict_cycles("analytics", coo)  # PA-HI-SpMV-16-2-4
+    hi = predict_cycles("crankseg_2", coo)  # HI-SpMV-24-1-1 (II x6)
+    # uniform random 4k^2: near-balanced; PA cycles ~ nnz/num_pes + tiling
+    assert pa < 3 * (30_000 / 128 + 4000 / 64 + 32)
+    # the non-PA schedule can pad up to ~II_DIST/loads-per-slot, never less
+    # than the balanced load
+    assert hi >= 30_000 / 192
