@@ -148,15 +148,17 @@ def bench_matrix(name: str, scale: float) -> dict:
     # (plan/serialize.py) instead of re-planning.  Best-effort.
     from hispmv_tpu.plan.serialize import load_plan, save_plan
 
-    from hispmv_tpu.formats.synth import _SYNTH_VERSION
+    from hispmv_tpu.tune.dse import matrix_fingerprint
 
     rs_tag = "-rs" if getattr(res.config, "rank_sort", False) else ""
     # Cache tag derived from the planner+kernel SOURCE hash: any change to
     # the stream layout or kernel code automatically invalidates both the
     # plan cache and the serialized-executable cache (a hand-bumped
     # version string silently resurrected stale kernels once).
+    # matrix CONTENT fingerprint in the cache name: a regenerated
+    # fixture can never resurrect a plan built for different coordinates
     cfg_tag0 = (
-        f"{_code_tag()}-f{_SYNTH_VERSION}-{res.format}"
+        f"{_code_tag()}-m{matrix_fingerprint(coo)[:10]}-{res.format}"
         f"-bh{res.config.block_h}-{res.config.value_dtype}{rs_tag}"
     )
     os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
@@ -338,10 +340,14 @@ def main():
     # minutes of one-time planning on a cold cache; give them a larger
     # cap pro-rated by nnz so first runs complete (warm-cache runs finish
     # far under the base cap either way).
+    # factors reflect PREP+COMPILE cost, not just nnz: the routed
+    # planner's cost is per-nnz-sorted, and cold kernel compiles add
+    # 30-90 s per new shape (soc-Pokec's banded grid compiles many)
     BIG_NNZ = {
-        "soc-Pokec": 30.6e6, "mouse_gene": 29.0e6, "PFlow_742": 37.1e6,
+        "soc-Pokec": 60e6, "mouse_gene": 32e6, "PFlow_742": 37.1e6,
         "TSOPF_RS_b2383": 11.6e6, "crankseg_2": 14.1e6,
-        "Si41Ge41H72": 15.0e6,
+        "Si41Ge41H72": 15.0e6, "ASIC_680k": 24e6, "nxp1": 14e6,
+        "boyd2": 14e6, "analytics": 14e6, "language": 13e6,
     }
 
     def cap_for(name):
@@ -356,8 +362,11 @@ def main():
             log(f"[{name}] SKIPPED (past {BUDGET_S:.0f}s budget)")
             continue
         attempts[name] += 1
+        # a retry with under 4 minutes left cannot finish a cold prep;
+        # give it the lesser of its cap and the remaining budget, but at
+        # least 240 s (the final partial emit still happens via SIGTERM)
         r = _run_one_subprocess(
-            name, scale, min(cap_for(name), max(remaining, 120))
+            name, scale, min(cap_for(name), max(remaining, 240))
         )
         if r is not None:
             results.append(r)

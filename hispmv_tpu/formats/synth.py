@@ -98,7 +98,7 @@ SUITE_PROFILES = {
     "lowThrust_7": MatrixProfile("lowThrust_7", 17378, 17378, 214_573, "banded"),
     "soc-Pokec": MatrixProfile(
         "soc-Pokec", 1632803, 1632803, 30_622_564, "rmat",
-        (("mix_uniform", 0.85),),
+        (("mix_uniform", 0.85), ("pattern", 1)),
     ),
     "hangGlider_3": MatrixProfile("hangGlider_3", 10260, 10260, 92_703, "banded"),
     "c-52": MatrixProfile("c-52", 23948, 23948, 202_708, "arrowhead"),
@@ -116,7 +116,7 @@ SUITE_PROFILES = {
     ),
     "language": MatrixProfile(
         "language", 399130, 399130, 1_216_334, "rmat",
-        (("mix_uniform", 0.9),),
+        (("mix_uniform", 0.9), ("pattern", 1)),
     ),
     "poli_large": MatrixProfile("poli_large", 15575, 15575, 33_074, "random"),
 }
@@ -293,6 +293,7 @@ def rmat_coo(
     c: float = 0.19,
     row_cap: int = 0,
     mix_uniform: float = 0.0,
+    pattern: int = 0,
 ) -> COOMatrix:
     """R-MAT / Kronecker graph generator (Graph500 defaults).
 
@@ -354,8 +355,16 @@ def rmat_coo(
         over = pos >= row_cap
         r = r.copy()
         r[over] = rng.integers(0, rows, int(over.sum()))
-    v = rng.standard_normal(len(r)).astype(np.float32)
-    v[v == 0] = 1.0
+    if pattern:
+        # SuiteSparse graph matrices (soc-Pokec, language) are PATTERN
+        # matrices: the reference's loader sets every value to 1.0
+        # (spmv-helper.cpp loadMtx pattern contract).  All-positive row
+        # sums also remove the fp32 cancellation that random values
+        # fabricate on rows the real matrix never stresses.
+        v = np.ones(len(r), np.float32)
+    else:
+        v = rng.standard_normal(len(r)).astype(np.float32)
+        v[v == 0] = 1.0
     return COOMatrix((rows, cols), r, cc, v)
 
 
