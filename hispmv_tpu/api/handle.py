@@ -224,6 +224,12 @@ class SpmvHandle:
 
         t0 = time.perf_counter()
         self.config = config or SpmvConfig()
+        # set before the prepare dispatch: packers pick smaller chunk
+        # sizes in interpret mode (unrolled kernel bodies are traced and
+        # executed per-op there; tracing cost scales with the unroll)
+        self.interpret = (
+            _use_interpret() if interpret is None else interpret
+        )
         if isinstance(matrix, np.ndarray):
             self._from_dense_array(matrix)
             fmt = "dense"
@@ -251,9 +257,6 @@ class SpmvHandle:
             else:
                 raise ValueError(f"unknown format: {fmt}")
         self.format = fmt
-        self.interpret = (
-            _use_interpret() if interpret is None else interpret
-        )
         self._runner = None
         self._batch_runners: Dict[int, object] = {}
         self.stats = PrepareStats(
@@ -280,6 +283,9 @@ class SpmvHandle:
         self.coo = None
         self.shape = tuple(plan.shape)
         self.nnz = plan.nnz
+        self.interpret = (
+            _use_interpret() if interpret is None else interpret
+        )
         if isinstance(plan, BandedRoutedPlan):
             self._routed_plan_meta = plan
             self._d = {}
@@ -356,9 +362,6 @@ class SpmvHandle:
             raise TypeError(f"unsupported plan type {type(plan)}")
         self.device_bytes = sum(int(v.nbytes) for v in self._d.values())
         self.format = fmt
-        self.interpret = (
-            _use_interpret() if interpret is None else interpret
-        )
         self._runner = None
         self._batch_runners = {}
         self.stats = PrepareStats(
@@ -579,10 +582,17 @@ class SpmvHandle:
         from hispmv_tpu.ops.spmv_routed import (
             _bucket, pack_stream, stream_array_names)
 
+        # Interpret mode (tests / csim analog): the kernel body is unrolled
+        # tchunk-fold and traced per-op, so tracing+lowering time scales
+        # with the chunk; small chunks keep the suite fast without
+        # touching the hardware path (tchunk=0 = per-stream default).
+        tchunk = 4 if getattr(self, "interpret", False) else 0
         streams_meta = []
         for i, s in enumerate(plan.streams):
             seg_metas = []
-            for gi, (packed, dims) in enumerate(pack_stream(s)):
+            for gi, (packed, dims) in enumerate(
+                pack_stream(s, tchunk=tchunk)
+            ):
                 names = stream_array_names(dims[2]) + (
                     "base", "byt", "lt")
                 for n, a in zip(names, packed):

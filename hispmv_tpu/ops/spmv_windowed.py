@@ -196,14 +196,15 @@ def spmv_windowed(
 
 
 # ---------------------------------------------------------------------------
-# Batched windowed kernel: one wide sublane gather covers the whole batch.
+# Batched windowed kernel: the A block is DMA'd once per chunk and
+# contracted against the whole batch (the runLinear stream-reuse contract,
+# fpga_handle.cpp:323-388).
 #
 # x is packed host-side as [nwin*SEGS, B*LANES] with value (s, b*LANES+j) =
 # x_b[s*LANES + j]; the per-block sub-index row broadcasts across the batch
-# (idx depends only on the lane j), so a single (SEGS, B*LANES) gather
-# fetches every batch vector's window column, followed by one MXU
-# contraction (bh,LANES)x(B,LANES)->(bh,B).  Wide axis-0 gathers verified
-# on hardware up to (8, 8192), i.e. B<=64.
+# (idx depends only on the lane j), so B per-batch (SEGS, LANES) gathers at
+# static column offsets fetch every batch vector's window column, followed
+# by one MXU contraction (bh,LANES)x(B,LANES)->(bh,B).
 # ---------------------------------------------------------------------------
 
 
@@ -228,13 +229,23 @@ def _windowed_batched_kernel(
         rb2 = meta_ref[0, 0, j]
         wb = meta_ref[0, 1, j]
 
-        win = x_ref[pl.ds(wb * SEGS, SEGS), :]  # (SEGS, B*LANES)
         sub = sub_ref[0, pl.ds(j, 1), :]  # (1, LANES)
-        idx = jnp.broadcast_to(
-            sub[:, None, :], (SEGS, batch, LANES)
-        ).reshape(SEGS, batch * LANES)
-        xg = jnp.take_along_axis(win, idx, axis=0)[0:1, :]
-        xg = xg.reshape(batch, LANES)  # (B, LANES)
+        idx = jnp.broadcast_to(sub, (SEGS, LANES))
+        # Per-batch (SEGS, LANES) gathers at static column offsets: a
+        # single wide gather + (1, B*LANES) -> (B, LANES) reshape would
+        # split lanes into sublanes, a relayout Mosaic rejects
+        # ("unsupported shape cast" on hardware).
+        xg = jnp.concatenate(
+            [
+                jnp.take_along_axis(
+                    x_ref[pl.ds(wb * SEGS, SEGS),
+                          b * LANES:(b + 1) * LANES],
+                    idx, axis=0,
+                )[0:1]
+                for b in range(batch)
+            ],
+            axis=0,
+        )  # (B, LANES)
         ab = a_ref[0, pl.ds(j * bh, bh), :]  # (bh, LANES)
         acc_ref[...] += jax.lax.dot_general(
             ab, xg, (((1,), (1,)), ((), ())),

@@ -133,18 +133,25 @@ def test_routed_kernel_interpret_random():
     _routed_kernel_check(coo)
 
 
-def test_routed_handle_run_and_linear():
+@pytest.mark.parametrize(
+    "N,nnz",
+    [
+        (900, 9_000),
+        pytest.param(3000, 40_000, marks=pytest.mark.slow),
+    ],
+)
+def test_routed_handle_run_and_linear(N, nnz):
     from hispmv_tpu.api import SpmvHandle
 
-    coo = banded_coo(3000, 3000, 40_000, seed=50)
+    coo = banded_coo(N, N, nnz, seed=50)
     h = SpmvHandle(coo, format="routed")
     assert h.format == "routed"
-    x = np.random.default_rng(51).standard_normal(3000).astype(np.float32)
-    y_in = np.random.default_rng(52).standard_normal(3000).astype(np.float32)
+    x = np.random.default_rng(51).standard_normal(N).astype(np.float32)
+    y_in = np.random.default_rng(52).standard_normal(N).astype(np.float32)
     got = np.asarray(h.run(x, y_in=y_in, alpha=2.0, beta=0.5))
     want = 2.0 * golden(coo, x) + 0.5 * y_in
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
-    xb = np.random.default_rng(53).standard_normal((3, 3000)).astype(np.float32)
+    xb = np.random.default_rng(53).standard_normal((3, N)).astype(np.float32)
     gotb = np.asarray(h.linear(xb))
     wantb = (coo.to_scipy() @ xb.astype(np.float64).T).T
     np.testing.assert_allclose(
@@ -223,11 +230,18 @@ def test_ranked_concentrates_powerlaw():
     assert len(p1.residual_vals) <= max(10, coo.nnz // 100)
 
 
-def test_ranked_handle_interpret():
+@pytest.mark.parametrize(
+    "R,C,nnz",
+    [
+        (1400, 1700, 16_000),
+        pytest.param(5000, 6000, 90_000, marks=pytest.mark.slow),
+    ],
+)
+def test_ranked_handle_interpret(R, C, nnz):
     from hispmv_tpu.api.handle import SpmvHandle
     from hispmv_tpu.config import SpmvConfig
 
-    coo = powerlaw_coo(5000, 6000, 90_000, seed=13)
+    coo = powerlaw_coo(R, C, nnz, seed=13)
     h = SpmvHandle(
         coo, config=SpmvConfig(rank_sort=True), format="routed",
         interpret=True,
@@ -336,7 +350,11 @@ def test_banded_routed_numpy_golden(rank_sort):
     np.testing.assert_allclose(got, golden(coo, x), rtol=1e-3, atol=1e-4)
 
 
-def test_banded_routed_handle_and_roundtrip(tmp_path):
+@pytest.mark.parametrize(
+    "base_nnz",
+    [12_000, pytest.param(60_000, marks=pytest.mark.slow)],
+)
+def test_banded_routed_handle_and_roundtrip(tmp_path, base_nnz):
     """The handle auto-bands oversized routed matrices; interpret-mode
     execution and the serialize/from_plan roundtrip stay exact."""
     import dataclasses as _dc
@@ -347,7 +365,7 @@ def test_banded_routed_handle_and_roundtrip(tmp_path):
     from hispmv_tpu.plan.serialize import load_plan, save_plan
 
     R = C = 1_100_000
-    coo = rmat_coo(2048, 2048, 60_000, seed=23)
+    coo = rmat_coo(2048, 2048, base_nnz, seed=23)
     # stretch the rmat into an oversized index space (keeps planning fast
     # while forcing the banded path): scatter blocks along the diagonal
     rows = coo.rows.astype(np.int64) + (coo.cols.astype(np.int64) % 7) \
@@ -375,18 +393,25 @@ def test_banded_routed_handle_and_roundtrip(tmp_path):
     )
 
 
-def test_routed_batched_linear_panels():
+@pytest.mark.parametrize(
+    "N,nnz",
+    [
+        (700, 6_000),
+        pytest.param(2000, 20_000, marks=pytest.mark.slow),
+    ],
+)
+def test_routed_batched_linear_panels(N, nnz):
     """Batched routed linear: the panel-batched kernel (stream DMA'd once
     per panel, runLinear contract fpga_handle.cpp:323-388) must match
     scipy for B above and below the panel size, with bias."""
     from hispmv_tpu.api import SpmvHandle
 
-    coo = banded_coo(2000, 2000, 20_000, seed=60)
+    coo = banded_coo(N, N, nnz, seed=60)
     h = SpmvHandle(coo, format="routed", interpret=True)
     rng = np.random.default_rng(61)
     for B in (2, 9):  # below / above one panel
-        xb = rng.standard_normal((B, 2000)).astype(np.float32)
-        bias = rng.standard_normal(2000).astype(np.float32)
+        xb = rng.standard_normal((B, N)).astype(np.float32)
+        bias = rng.standard_normal(N).astype(np.float32)
         got = np.asarray(h.linear(xb, bias=bias))
         want = (coo.to_scipy() @ xb.astype(np.float64).T).T + bias
         np.testing.assert_allclose(
@@ -394,14 +419,21 @@ def test_routed_batched_linear_panels():
         )
 
 
-def test_routed_batched_linear_with_residual():
+@pytest.mark.parametrize(
+    "R,C,nnz",
+    [
+        (500, 600, 3_000),
+        pytest.param(1200, 1500, 10_000, marks=pytest.mark.slow),
+    ],
+)
+def test_routed_batched_linear_with_residual(R, C, nnz):
     """The batched path must include both residual executors."""
     from hispmv_tpu.api import SpmvHandle
 
-    coo = random_coo(1200, 1500, 10_000, seed=62)
+    coo = random_coo(R, C, nnz, seed=62)
     h = SpmvHandle(coo, format="routed", interpret=True)
     rng = np.random.default_rng(63)
-    xb = rng.standard_normal((3, 1500)).astype(np.float32)
+    xb = rng.standard_normal((3, C)).astype(np.float32)
     got = np.asarray(h.linear(xb))
     want = (coo.to_scipy() @ xb.astype(np.float64).T).T
     np.testing.assert_allclose(
