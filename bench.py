@@ -130,19 +130,22 @@ def bench_matrix(name: str, scale: float) -> dict:
 
     t0 = time.time()
     coo = suite_matrix(name, scale=scale)
+    t_synth = time.time() - t0
     # Measured tuning (build + loop-slope-time the top candidates, plus
-    # one per close format family) is ON by default for small/mid
-    # matrices: the model's cross-family ranking is only good to ~2x on
-    # irregular classes, and measured winners are cached so repeat runs
-    # are model-free.  Large matrices stay model-only by default (each
-    # extra candidate costs a full prep + compile).  Override with
+    # one per close format family) is ON by default for ALL matrices: the
+    # model's cross-family ranking is only good to ~2x on irregular
+    # classes, and measured winners are cached (one-time cost per matrix)
+    # so repeat runs are model-free.  >8M-nnz matrices measure one fewer
+    # extra candidate to bound the one-time cost.  Override with
     # HISPMV_BENCH_MEASURE=N (0 disables).
-    default_measure = "2" if coo.nnz < 8_000_000 else "0"
+    default_measure = "2" if coo.nnz < 8_000_000 else "1"
+    t0 = time.time()
     res = tune(
         coo,
         cache_path="/tmp/hispmv_best_configs.json",
         measure=int(os.environ.get("HISPMV_BENCH_MEASURE", default_measure)),
     )
+    t_tune = time.time() - t0
     # Plan cache: preprocessing large matrices costs seconds-to-minutes;
     # repeated bench runs (incl. the driver's) reload the serialized plan
     # (plan/serialize.py) instead of re-planning.  Best-effort.
@@ -164,9 +167,12 @@ def bench_matrix(name: str, scale: float) -> dict:
     os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
     plan_cache = f"/tmp/hispmv_plan_cache/{name}-{scale}-{cfg_tag0}.npz"
     handle = None
+    t0 = time.time()
+    plan_cached = False
     if os.path.exists(plan_cache):
         try:
             handle = SpmvHandle.from_plan(load_plan(plan_cache))
+            plan_cached = True
             log(f"[{name}] plan cache hit ({plan_cache})")
         except Exception as e:
             log(f"[{name}] plan cache unusable ({e!r}); re-planning")
@@ -178,9 +184,15 @@ def bench_matrix(name: str, scale: float) -> dict:
                 save_plan(plan_cache, handle.plan, compress=False)
             except Exception as e:
                 log(f"[{name}] plan cache save failed ({e!r})")
+    # plan-build seconds reported SEPARATELY from fixture synthesis and
+    # tuning: the reference's metrics CSV reports exactly the
+    # preprocessing time (U280_metrics.csv col 2, spmv-helper.cpp:659-714)
+    t_plan = time.time() - t0
     log(
         f"[{name}] scale={scale} nnz={coo.nnz} format={handle.format} "
-        f"fill={handle.stats.fill:.3f} prep={time.time()-t0:.1f}s"
+        f"fill={handle.stats.fill:.3f} "
+        f"synth={t_synth:.1f}s tune={t_tune:.1f}s "
+        f"plan={t_plan:.1f}s{' (cache hit)' if plan_cached else ''}"
     )
 
     x = np.random.default_rng(0).standard_normal(coo.num_cols)
@@ -234,6 +246,10 @@ def bench_matrix(name: str, scale: float) -> dict:
         "cpu_gflops": round(cpu_gflops, 3),
         "verify_ok": bool(stats.ok),
         "ref_gflops": U280_GFLOPS[name],
+        "plan_s": round(t_plan, 2),
+        "plan_cached": plan_cached,
+        "tune_s": round(t_tune, 2),
+        "synth_s": round(t_synth, 2),
     }
 
 
@@ -275,6 +291,15 @@ def emit(results, cases=None):
         },
         "cpu_gflops": {
             r["name"]: r.get("cpu_gflops", None) for r in results
+        },
+        # plan-build seconds (reference parity column: U280_metrics.csv
+        # col 2 "preprocessing time"); cache hits marked with "*"
+        "plan_s": {
+            r["name"]: (
+                f"{r.get('plan_s', 0)}"
+                + ("*" if r.get("plan_cached") else "")
+            )
+            for r in results
         },
         "skipped": [n for n, _ in cases if n not in done][:20],
     }
@@ -359,6 +384,23 @@ def main():
     def cap_for(name):
         return per_matrix_cap * max(1.0, BIG_NNZ.get(name, 0) / 12e6)
 
+    # Contention guard: planning is CPU-bound on 4 cores; a concurrent
+    # host-heavy process silently inflates prep times past per-matrix
+    # caps (round 3 lost 6 matrices to exactly that) and skews timings.
+    # Wait (bounded) for the host to go quiet before each matrix.
+    n_cpu = os.cpu_count() or 4
+
+    def wait_for_quiet(max_wait_s: float = 300.0):
+        waited = 0.0
+        while waited < max_wait_s:
+            load = os.getloadavg()[0]
+            if load < 0.75 * n_cpu:
+                return
+            log(f"contention guard: load {load:.1f} >= {0.75*n_cpu:.1f}, "
+                f"waiting...")
+            time.sleep(30)
+            waited += 30
+
     pending = list(cases)
     attempts = {name: 0 for name, _ in cases}
     while pending:
@@ -367,6 +409,8 @@ def main():
         if results and remaining < 60:
             log(f"[{name}] SKIPPED (past {BUDGET_S:.0f}s budget)")
             continue
+        if remaining > 900:
+            wait_for_quiet()
         attempts[name] += 1
         # a retry with under 4 minutes left cannot finish a cold prep;
         # give it the lesser of its cap and the remaining budget, but at

@@ -106,7 +106,7 @@ def time_dma(nwords, T=4096, tchunk=32):
 
 def _phase_kernel(
     base_ref, byt_ref, lt_ref, *refs, tchunk, W, l1, lmax, phase,
-    prec=jax.lax.Precision.HIGHEST,
+    prefix_mode="highest",
 ):
     """phase: 1 = products only, 2 = + prefix, 3 = full."""
     vals_ref, slot_ref, gsub_ref, bl_ref, bs_ref, x_ref, y_ref = refs
@@ -163,16 +163,35 @@ def _phase_kernel(
             + pall[0:8, :] + touch
         )
         return
-    incl = jax.lax.dot_general(
-        pall, upper, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    if prefix_mode == "bf16x2":
+        # hi/lo bf16 split: the triangular masks are EXACT in bf16, so
+        # the only error is the bf16-pair truncation of the products
+        # (~2^-17 relative) — two DEFAULT-precision MXU passes instead
+        # of HIGHEST's six.
+        hi = pall.astype(jnp.bfloat16)
+        lo = (pall - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ub = upper.astype(jnp.bfloat16)
+        incl = (
+            jax.lax.dot_general(
+                hi, ub, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + jax.lax.dot_general(
+                lo, ub, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+    else:
+        incl = jax.lax.dot_general(
+            pall, upper, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
     rowsum = incl[:, 127:128]
     carry = jax.lax.dot_general(
         bd_strict, rowsum, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=prec,
+        precision=jax.lax.Precision.HIGHEST,
     )
     pf_all = incl + carry
     if phase == 2:
@@ -232,8 +251,7 @@ def synth_packed(T, W, l1, lmax, nwin, nyt, tchunk, rng):
     ), (nch, tchunk, W, l1, lmax)
 
 
-def time_phase(packed, dims, nwin, nyt, phase,
-               prec=jax.lax.Precision.HIGHEST):
+def time_phase(packed, dims, nwin, nyt, phase, prefix_mode="highest"):
     from hispmv_tpu.utils.timing import measure_loop_time
 
     nch, tchunk, W, l1, lmax = dims
@@ -266,7 +284,7 @@ def time_phase(packed, dims, nwin, nyt, phase,
     fn = pl.pallas_call(
         functools.partial(
             _phase_kernel, tchunk=tchunk, W=W, l1=l1, lmax=lmax,
-            phase=phase, prec=prec,
+            phase=phase, prefix_mode=prefix_mode,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nyt * 8, LANES), jnp.float32),
@@ -315,13 +333,13 @@ def main():
             f"full={row[2]:5.1f} ns/tile "
             f"(prefix {row[1]-row[0]:4.1f}, bnd {row[2]-row[1]:4.1f})")
 
-    log("== c. prefix precision (full kernel) ==")
-    for (W, l1, lmax, tch) in [(2, 5, 1, 32), (4, 2, 1, 32), (2, 5, 4, 32)]:
+    log("== c. prefix mode (full kernel) ==")
+    for (W, l1, lmax, tch) in [(2, 5, 1, 32), (4, 2, 1, 32), (2, 5, 4, 32),
+                               (2, 5, 2, 32), (4, 1, 1, 32)]:
         packed, dims = synth_packed(4096, W, l1, lmax, nwin, nyt, tch, rng)
-        for prec in (jax.lax.Precision.HIGHEST, jax.lax.Precision.HIGH,
-                     jax.lax.Precision.DEFAULT):
-            t = time_phase(packed, dims, nwin, nyt, 3, prec=prec) * 1e9
-            log(f"  W={W} l1={l1} lmax={lmax} {str(prec):18s}: "
+        for mode in ("highest", "bf16x2"):
+            t = time_phase(packed, dims, nwin, nyt, 3, prefix_mode=mode) * 1e9
+            log(f"  W={W} l1={l1} lmax={lmax} {mode:8s}: "
                 f"{t:6.1f} ns/tile")
 
 

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
-"""Calibrate the v4 routed kernel's per-tile cost constants on chip.
+"""Calibrate the v5 routed kernel's per-tile cost constants on chip.
 
 Builds synthetic RoutedStream objects over a controlled (W, l1, lmax)
-grid, times spmv_routed_stream_pallas with the loop-slope method, and
-fits the linear model
+grid, times spmv_routed_stream_pallas (through the real pack_stream, so
+the lmax=1 merged-boundary-word path is exercised) with the loop-slope
+method, and fits the linear model
 
     ns/tile = BASE + W_NS*(W-1) + OV_NS*(l1-1) + BND_NS*lmax
 
@@ -13,6 +14,8 @@ Run: python benchmarks/microbench_slab.py
 """
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
@@ -30,26 +33,26 @@ def synth_stream(T, W, l1, lmax, nwin, nyt, rng):
     vals = rng.standard_normal((T, 8, LANES)).astype(np.float32)
     lane = rng.integers(0, LANES, (T, 8, LANES))
     rank = rng.integers(0, l1, (T, 8, LANES))
-    slot = (lane | (rank << 7)).astype(np.int32)
-    gs = rng.integers(0, W * 8, (T, 8, LANES))
-    gsub = gs.astype(np.int64)
-    for l in range(1, l1):
-        gsub = gsub | (
-            rng.integers(0, 8, (T, 8, LANES)).astype(np.int64)
-            << (9 + 3 * (l - 1))
-        )
+    slot = (lane | (rank << 7)).astype(np.int64)
+    for l in range(3, l1):
+        slot |= rng.integers(0, W * 8, (T, 8, LANES)).astype(
+            np.int64) << (10 + 9 * (l - 3))
+    slot = slot.astype(np.int32)
+    gsub = np.zeros((T, 8, LANES), np.int64)
+    for l in range(min(l1, 3)):
+        gsub |= rng.integers(0, W * 8, (T, 8, LANES)).astype(
+            np.int64) << (9 * l)
     gsub = gsub.astype(np.int32)
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
     bl = rng.integers(0, 1 << 28, (T, npair, 8, LANES)).astype(np.int32)
     bs = rng.integers(0, 1 << 30, (T, nquad, 8, LANES)).astype(np.int32)
     base = rng.integers(0, max(nwin - W, 1), T).astype(np.int32)
-    win = rng.integers(0, nwin, (T, max(l1 - 1, 0))).astype(np.int32)
     byt = rng.integers(0, nyt, (T, lmax)).astype(np.int32)
     lt = np.full(T, lmax, np.int32)
     return RoutedStream(
         num_tiles=T, wmax=W, l1=l1, lmax=lmax, vals=vals, slot=slot,
-        gsub=gsub, bl=bl, bs=bs, base=base, win=win, byt=byt, lt=lt,
+        gsub=gsub, bl=bl, bs=bs, base=base, byt=byt, lt=lt,
     )
 
 
@@ -86,24 +89,23 @@ def main():
     honor_platform_env()
     rng = np.random.default_rng(0)
     nwin, nyt = 64, 64
-    T = 1024
+    T = 4096
     grid = []
     print("   W  l1 lmax tchunk ns/tile", flush=True)
     for (W, l1, lmax, tch) in [
-        (1, 1, 1, 16), (4, 1, 1, 16), (16, 1, 1, 16), (32, 1, 1, 16),
-        (64, 1, 1, 16),
-        (1, 2, 1, 16), (1, 4, 1, 16), (1, 8, 1, 16),
-        (1, 1, 2, 16), (1, 1, 4, 16), (1, 1, 8, 16),
-        (16, 2, 4, 16), (16, 4, 4, 16),
-        (1, 1, 16, 8), (1, 1, 32, 8),
-        (16, 2, 16, 8), (32, 4, 32, 8),
-        (1, 1, 1, 32), (1, 1, 4, 32),
+        (1, 1, 1, 32), (4, 1, 1, 32), (16, 1, 1, 32), (64, 1, 1, 32),
+        (2, 2, 1, 32), (2, 4, 1, 32), (2, 5, 1, 32),
+        (4, 2, 1, 32), (8, 3, 1, 32),
+        (2, 5, 2, 32), (2, 5, 4, 32), (4, 2, 2, 32),
+        (1, 1, 4, 32), (1, 1, 8, 16),
+        (16, 2, 4, 16), (4, 3, 8, 16),
+        (1, 1, 16, 8), (16, 2, 16, 8), (32, 4, 32, 8),
     ]:
         s = synth_stream(T, W, l1, lmax, nwin, nyt, rng)
         t = time_stream(s, nwin, nyt, rng, tchunk=tch) * 1e9
         grid.append((W, l1, lmax, t))
         print(f"{W:4d} {l1:3d} {lmax:4d} {tch:6d} {t:8.1f}", flush=True)
-    # least squares fit on the tchunk-16/8 rows
+    # least squares fit
     A = np.array([[1.0, W - 1, l1 - 1, lm] for (W, l1, lm, _) in grid])
     b = np.array([t for (_, _, _, t) in grid])
     c, *_ = np.linalg.lstsq(A, b, rcond=None)

@@ -126,7 +126,7 @@ def profile(name: str):
         x2d = xl.reshape(-1, 128)
         for i, segs in enumerate(m["streams"]):
             for gi, sm in enumerate(segs):
-                names = stream_array_names(sm["dims"][2])
+                names = stream_array_names(sm["dims"][4])
                 p = pfx + f"s{i}g{gi}_"
                 packed = tuple(d[p + n] for n in names) + (
                     d[p + "base"], d[p + "win"], d[p + "byt"],

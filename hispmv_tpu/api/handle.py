@@ -121,7 +121,7 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
     y2d = None
     for i, seg_metas in enumerate(meta["streams"]):
         for gi, sm in enumerate(seg_metas):
-            names = stream_array_names(sm["dims"][2])
+            names = stream_array_names(sm["dims"][4])
             p = prefix + f"s{i}g{gi}_"
             packed = tuple(d[p + n] for n in names) + (
                 d[p + "base"], d[p + "byt"], d[p + "lt"])
@@ -593,7 +593,7 @@ class SpmvHandle:
             for gi, (packed, dims) in enumerate(
                 pack_stream(s, tchunk=tchunk)
             ):
-                names = stream_array_names(dims[2]) + (
+                names = stream_array_names(dims[4]) + (
                     "base", "byt", "lt")
                 for n, a in zip(names, packed):
                     d[prefix + f"s{i}g{gi}_" + n] = jnp.asarray(a)
@@ -1243,7 +1243,7 @@ class SpmvHandle:
                         y2d = None
                         for i, segs in enumerate(rmeta["streams"]):
                             for gi, sm in enumerate(segs):
-                                names = stream_array_names(sm["dims"][2])
+                                names = stream_array_names(sm["dims"][4])
                                 p = f"s{i}g{gi}_"
                                 packed = tuple(
                                     d[p + n] for n in names

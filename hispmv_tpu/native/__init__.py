@@ -31,7 +31,7 @@ def _build() -> Optional[str]:
     # and reused on another; ISA-specific codegen would SIGILL there.
     cxx = os.environ.get("CXX", "g++")
     cmd = [
-        cxx, "-O3", "-shared", "-fPIC", "-std=c++17",
+        cxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-fopenmp",
         _SRC, "-o", _SO,
     ]
     try:
@@ -40,7 +40,15 @@ def _build() -> Optional[str]:
         )
         return _SO
     except Exception:
-        return None
+        # toolchains without OpenMP still get the serial build
+        try:
+            subprocess.run(
+                [c for c in cmd if c != "-fopenmp"],
+                check=True, capture_output=True, timeout=120,
+            )
+            return _SO
+        except Exception:
+            return None
 
 
 def _stale() -> bool:
@@ -96,6 +104,21 @@ def get_lib():
         lib.greedy_cell_merge.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.radix_argsort_u64.restype = None
+        lib.radix_argsort_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.distinct_rank_u64.restype = None
+        lib.distinct_rank_u64.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_ulonglong,
+            ctypes.c_void_p,
+        ]
+        lib.routed_tile_stats.restype = None
+        lib.routed_tile_stats.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
@@ -164,6 +187,55 @@ def euler_color(
     if rc != 0:
         return None
     return colors
+
+
+def radix_argsort(keys: np.ndarray) -> Optional[np.ndarray]:
+    """Stable parallel argsort of uint64/int64 keys (LSD radix, OpenMP);
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, np.uint64)
+    order = np.empty(len(keys), np.int64)
+    lib.radix_argsort_u64(_ptr(keys), len(keys), _ptr(order))
+    return order
+
+
+def distinct_rank(key: np.ndarray, width: int) -> Optional[np.ndarray]:
+    """Per entry: #distinct key values preceding it within its group
+    (group = key // width; entries sharing a key share a rank).  Mirrors
+    plan/routed.py::_distinct_rank; None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    key = np.ascontiguousarray(key, np.uint64)
+    rank = np.empty(len(key), np.int64)
+    lib.distinct_rank_u64(_ptr(key), len(key), int(width), _ptr(rank))
+    return rank
+
+
+def routed_tile_stats(
+    p_win: np.ndarray, p_band: np.ndarray, pad: np.ndarray
+):
+    """Per-tile (nnz, wmin, span, distinct bands) over contiguous
+    1024-slot tiles in one parallel pass; None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(p_win)
+    T = n // 1024
+    p_win = np.ascontiguousarray(p_win, np.int32)
+    p_band = np.ascontiguousarray(p_band, np.int32)
+    pad = np.ascontiguousarray(pad, np.uint8)
+    nnz_t = np.empty(T, np.int32)
+    wmin_t = np.empty(T, np.int32)
+    span_t = np.empty(T, np.int32)
+    band_t = np.empty(T, np.int32)
+    lib.routed_tile_stats(
+        _ptr(p_win), _ptr(p_band), _ptr(pad), T,
+        _ptr(nnz_t), _ptr(wmin_t), _ptr(span_t), _ptr(band_t),
+    )
+    return nnz_t, wmin_t, span_t, band_t
 
 
 def pack_blocks(

@@ -253,3 +253,149 @@ long long greedy_cell_merge(const int64_t* strip, const int64_t* bc,
 
 }  // extern "C"
 
+
+// ---------------------------------------------------------------------------
+// Parallel LSD radix argsort by uint64 key (routed planner sort core).
+//
+// Replaces np.lexsort((cols, rows, mcell)) — the single largest planning
+// cost (reference parity target: the OpenMP prepare driver,
+// common/src/spmv-helper.cpp:642-715).  16-bit digits; passes whose
+// digit is constant across all keys are skipped (high bits usually are).
+// Stable.  OpenMP when compiled with -fopenmp, serial otherwise.
+// ---------------------------------------------------------------------------
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" void radix_argsort_u64(const uint64_t* keys, int64_t n,
+                                  int64_t* order_out) {
+  if (n <= 0) return;
+  uint64_t all_or = 0, all_and = ~0ull;
+  for (int64_t i = 0; i < n; ++i) {
+    all_or |= keys[i];
+    all_and &= keys[i];
+  }
+  struct KV {
+    uint64_t k;
+    uint32_t i;
+  };
+  std::vector<KV> a(n), b(n);
+  for (int64_t i = 0; i < n; ++i) a[i] = {keys[i], (uint32_t)i};
+  const int RAD = 1 << 16;
+#ifdef _OPENMP
+  int nt = omp_get_max_threads();
+#else
+  int nt = 1;
+#endif
+  std::vector<int64_t> hist((int64_t)nt * RAD);
+  for (int pass = 0; pass < 4; ++pass) {
+    int shift = 16 * pass;
+    // digit constant across all keys -> the pass is the identity
+    if (((all_or >> shift) & 0xFFFF) == ((all_and >> shift) & 0xFFFF))
+      continue;
+    std::fill(hist.begin(), hist.end(), 0);
+    KV* src = a.data();
+    KV* dst = b.data();
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+      int t = omp_get_thread_num();
+#else
+      int t = 0;
+#endif
+      int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+      int64_t* h = hist.data() + (int64_t)t * RAD;
+      for (int64_t i = lo; i < hi; ++i)
+        ++h[(src[i].k >> shift) & 0xFFFF];
+    }
+    // exclusive prefix over (bucket, thread) — stable order
+    int64_t sum = 0;
+    for (int d = 0; d < RAD; ++d) {
+      for (int t = 0; t < nt; ++t) {
+        int64_t* h = hist.data() + (int64_t)t * RAD + d;
+        int64_t c = *h;
+        *h = sum;
+        sum += c;
+      }
+    }
+#pragma omp parallel num_threads(nt)
+    {
+#ifdef _OPENMP
+      int t = omp_get_thread_num();
+#else
+      int t = 0;
+#endif
+      int64_t lo = n * t / nt, hi = n * (t + 1) / nt;
+      int64_t* h = hist.data() + (int64_t)t * RAD;
+      for (int64_t i = lo; i < hi; ++i)
+        dst[h[(src[i].k >> shift) & 0xFFFF]++] = src[i];
+    }
+    std::swap(a, b);
+  }
+  for (int64_t i = 0; i < n; ++i) order_out[i] = a[i].i;
+}
+
+// ---------------------------------------------------------------------------
+// distinct_rank: per entry, the number of DISTINCT ``val`` values that
+// precede it within its group (entries sharing (group, val) share a rank).
+// key[i] = group[i] * width + val[i] must fit uint64 (caller guarantees).
+// Mirrors plan/routed.py::_distinct_rank.
+// ---------------------------------------------------------------------------
+extern "C" void distinct_rank_u64(const uint64_t* key, int64_t n,
+                                  uint64_t width, int64_t* rank_out) {
+  if (n <= 0) return;
+  std::vector<int64_t> order(n);
+  radix_argsort_u64(key, n, order.data());
+  uint64_t prev_key = ~0ull;
+  uint64_t prev_group = ~0ull;
+  int64_t r = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t j = order[i];
+    uint64_t k = key[j];
+    uint64_t g = k / width;
+    if (g != prev_group) {
+      r = 0;
+      prev_group = g;
+      prev_key = k;
+    } else if (k != prev_key) {
+      ++r;
+      prev_key = k;
+    }
+    rank_out[j] = r;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// routed_tile_stats: per-tile nnz / window-min / window-span / distinct
+// band count in one parallel pass (plan/routed.py::tile_stats).  Slots of
+// tile t are the contiguous range [t*1024, (t+1)*1024).
+// ---------------------------------------------------------------------------
+extern "C" void routed_tile_stats(const int32_t* p_win, const int32_t* p_band,
+                                  const uint8_t* pad, int64_t T,
+                                  int32_t* nnz_t, int32_t* wmin_t,
+                                  int32_t* span_t, int32_t* band_t) {
+#pragma omp parallel for schedule(static)
+  for (int64_t t = 0; t < T; ++t) {
+    const int64_t lo = t * 1024, hi = lo + 1024;
+    int32_t cnt = 0;
+    int32_t wmin = INT32_MAX, wmax = INT32_MIN;
+    int32_t bands[1024];
+    int nb = 0;
+    for (int64_t i = lo; i < hi; ++i) {
+      if (!pad[i]) ++cnt;
+      int32_t w = p_win[i];
+      if (w < wmin) wmin = w;
+      if (w > wmax) wmax = w;
+      bands[nb++] = p_band[i];
+    }
+    std::sort(bands, bands + nb);
+    int32_t db = nb ? 1 : 0;
+    for (int i = 1; i < nb; ++i)
+      if (bands[i] != bands[i - 1]) ++db;
+    nnz_t[t] = cnt;
+    wmin_t[t] = wmin;
+    span_t[t] = wmax - wmin + 1;
+    band_t[t] = db;
+  }
+}

@@ -90,11 +90,15 @@ def _chunk_terms(nch: int, max_terms: int = 4, cap: int = 0) -> list:
     return terms
 
 
-def stream_array_names(wmax: int = 0) -> tuple:
+def stream_array_names(lmax: int = 2) -> tuple:
     """Device-dict key names for one packed stream segment's data arrays,
-    in ``pack_stream`` order (without the base/win/byt/lt prefetch
-    tables).  The v4 layout is dimension-independent; the argument is
-    kept for call-site compatibility."""
+    in ``pack_stream`` order (without the base/byt/lt prefetch tables).
+    lmax == 1 classes carry ONE merged boundary word (``bm``: end_lane |
+    start_lane<<7 | end_sub<<14 | start_sub<<17 — 20 bits) instead of the
+    bl/bs pair: one less 4 KiB/tile stream word on the most common
+    class."""
+    if lmax == 1:
+        return ("vals", "slot", "gsub", "bm")
     return ("vals", "slot", "gsub", "bl", "bs")
 
 
@@ -172,10 +176,6 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     slot[:T] = s.slot
     gsub = np.zeros((Tp, 8, LANES), np.int32)
     gsub[:T] = s.gsub
-    bl = np.zeros((Tp, npair, 8, LANES), np.int32)
-    bl[:T, : s.bl.shape[1]] = s.bl
-    bs = np.zeros((Tp, nquad, 8, LANES), np.int32)
-    bs[:T, : s.bs.shape[1]] = s.bs
     base = np.zeros(Tp, np.int32)
     base[:T] = s.base
     byt = np.zeros((Tp, lp), np.int32)
@@ -183,12 +183,33 @@ def pack_stream(s: RoutedStream, tchunk: int = 0, bucket: bool = True):
     lt = np.zeros(Tp, np.int32)  # padding tiles: 0 layers (diagnostics)
     lt[:T] = s.lt
 
+    if lp == 1:
+        # merged single boundary word (see stream_array_names): the plan
+        # keeps the bl/bs pair, the merge is a pack-time transformation
+        bm = np.zeros((Tp, 1, 8, LANES), np.int32)
+        blv = s.bl[:, 0].view(np.uint32)
+        bsv = s.bs[:, 0].view(np.uint32)
+        bm[:T, 0] = (
+            (blv & np.uint32(0x3FFF))
+            | ((bsv & np.uint32(7)) << np.uint32(14))
+            | (((bsv >> np.uint32(4)) & np.uint32(7)) << np.uint32(17))
+        ).view(np.int32)
+        bnd = [bm.reshape(nch, tchunk * 8, LANES)]
+    else:
+        bl = np.zeros((Tp, npair, 8, LANES), np.int32)
+        bl[:T, : s.bl.shape[1]] = s.bl
+        bs = np.zeros((Tp, nquad, 8, LANES), np.int32)
+        bs[:T, : s.bs.shape[1]] = s.bs
+        bnd = [
+            bl.reshape(nch, tchunk * npair * 8, LANES),
+            bs.reshape(nch, tchunk * nquad * 8, LANES),
+        ]
+
     full = [
         vals.reshape(nch, tchunk * 8, LANES),
         slot.reshape(nch, tchunk * 8, LANES),
         gsub.reshape(nch, tchunk * 8, LANES),
-        bl.reshape(nch, tchunk * npair * 8, LANES),
-        bs.reshape(nch, tchunk * nquad * 8, LANES),
+        *bnd,
         # scalar-prefetch tables FLATTENED to 1-D: SMEM pads 2-D operands
         # per ROW (~512 B), so [T, 1] tables would cost T*512 B and blow
         # the 1 MiB SMEM budget at a few thousand tiles
@@ -215,6 +236,40 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
+def _flat_prefix(pall, upper, bd_strict):
+    """Inclusive flat prefix over each tile's 1024 slots: lane prefix via
+    an upper-triangular matmul in a 3-term bf16 split (the 0/1 mask is
+    exact in bf16; three DEFAULT MXU passes reproduce f32 products to
+    ~2^-24 relative at HALF the HIGHEST=bf16_6x cost) + sublane carry via
+    a strict-lower block matmul (tiny, kept HIGHEST).
+
+    Three terms, not two: downstream, per-row sums are prefix
+    DIFFERENCES, so absolute prefix error survives cancellation and
+    becomes relative error on small rows — a 2-term split's 2^-17
+    residue measured 7.7e-3 max-rel on a powerlaw matrix (hardware run
+    2026-08-20), while the 3-term split restores f32-class accuracy."""
+    hi = pall.astype(jnp.bfloat16)
+    r1 = pall - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    ub = upper.astype(jnp.bfloat16)
+
+    def mm(a):
+        return jax.lax.dot_general(
+            a, ub, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    incl = mm(hi) + mm(mid) + mm(lo)
+    rowsum = incl[:, 127:128]
+    carry = jax.lax.dot_general(
+        bd_strict, rowsum, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return incl + carry
+
+
 def _routed_kernel(
     base_ref,  # i32 [Tp] scalar prefetch: window base per tile
     byt_ref,  # i32 [Tp*lp] scalar prefetch: y tile per boundary layer
@@ -228,7 +283,11 @@ def _routed_kernel(
     l1: int,
     lmax: int,
 ):
-    vals_ref, slot_ref, gsub_ref, bl_ref, bs_ref, x_ref, y_ref = refs
+    if lmax == 1:
+        vals_ref, slot_ref, gsub_ref, bm_ref, x_ref, y_ref = refs
+        bl_ref = bs_ref = bm_ref
+    else:
+        vals_ref, slot_ref, gsub_ref, bl_ref, bs_ref, x_ref, y_ref = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -276,19 +335,13 @@ def _routed_kernel(
         [products(j) for j in range(tchunk)], axis=0
     )  # (M, 128)
 
-    # ---- phase B: batched per-tile flat prefix (2 matmuls per CHUNK) ----
-    incl = jax.lax.dot_general(
-        pall, upper, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    rowsum = incl[:, 127:128]
-    carry = jax.lax.dot_general(
-        bd_strict, rowsum, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    pf_all = incl + carry  # (M, 128)
+    # ---- phase B: batched per-tile flat prefix (3 matmuls per CHUNK) ----
+    # Lane prefix via hi/lo bf16 split: the 0/1 triangular mask is EXACT
+    # in bf16, so two DEFAULT-precision MXU passes reproduce the f32
+    # product sums to ~2^-17 relative (measured ~9 ns/tile faster than
+    # one HIGHEST = bf16_6x matmul; the reference's fp32 accumulators
+    # carry the same rounding class, spmv-helper.cpp:812-833).
+    pf_all = _flat_prefix(pall, upper, bd_strict)
 
     # ---- phase C: segmented subtract + single-side boundary extraction --
     # ALL lmax layers run unconditionally: layers beyond a tile's actual
@@ -301,10 +354,15 @@ def _routed_kernel(
     for j in range(tchunk):
         pf = pf_all[j * 8 : (j + 1) * 8, :]
         for k in range(lmax):
-            offp = (j * npair + k // 2) * 8
-            raw = _srl(bl_ref[0, offp : offp + 8, :], 14 * (k % 2))
-            offq = (j * nquad + k // 4) * 8
-            q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
+            if lmax == 1:
+                raw = bm_ref[0, j * 8 : (j + 1) * 8, :]
+                q = _srl(raw, 14)  # end_sub @0..2, start_sub @3..5
+                q = (q & 7) | ((_srl(q, 3) & 7) << 4)
+            else:
+                offp = (j * npair + k // 2) * 8
+                raw = _srl(bl_ref[0, offp : offp + 8, :], 14 * (k % 2))
+                offq = (j * nquad + k // 4) * 8
+                q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
             ga = jnp.take_along_axis(
                 jnp.take_along_axis(pf, q & 7, axis=0),
                 raw & 127, axis=1,
@@ -328,7 +386,12 @@ def spmv_routed_stream_pallas(
 ) -> jax.Array:
     """Run one routed stream; returns y f32 [nyt*8, 128]."""
     nch, tchunk, W, l1, lmax = dims
-    vals, slot, gsub, bl, bs, base, byt, lt = packed
+    if lmax == 1:
+        vals, slot, gsub, bm, base, byt, lt = packed
+        data = (vals, slot, gsub, bm)
+    else:
+        vals, slot, gsub, bl, bs, base, byt, lt = packed
+        data = (vals, slot, gsub, bl, bs)
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
 
@@ -341,9 +404,14 @@ def spmv_routed_stream_pallas(
 
     in_specs = [
         spec(tchunk * 8), spec(tchunk * 8), spec(tchunk * 8),
-        spec(tchunk * npair * 8), spec(tchunk * nquad * 8),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # x resident
     ]
+    if lmax == 1:
+        in_specs += [spec(tchunk * 8)]
+    else:
+        in_specs += [
+            spec(tchunk * npair * 8), spec(tchunk * nquad * 8),
+        ]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x resident
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nch,),
@@ -357,9 +425,7 @@ def spmv_routed_stream_pallas(
     kernel = functools.partial(
         _routed_kernel, tchunk=tchunk, W=W, l1=l1, lmax=lmax,
     )
-    nbytes = int(
-        vals.size + slot.size + gsub.size + bl.size + bs.size
-    ) * 4
+    nbytes = sum(int(a.size) for a in data) * 4
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -372,7 +438,7 @@ def spmv_routed_stream_pallas(
             bytes_accessed=nbytes + x2d.size * 4,
             transcendentals=0,
         ),
-    )(base, byt, lt, vals, slot, gsub, bl, bs, x2d)
+    )(base, byt, lt, *data, x2d)
 
 
 def _routed_kernel_batched(
@@ -393,7 +459,11 @@ def _routed_kernel_batched(
     in one VMEM-resident array (the runLinear stream-reuse contract,
     fpga_handle.cpp:323-388).  Compute scales with B; stream traffic does
     not."""
-    vals_ref, slot_ref, gsub_ref, bl_ref, bs_ref, x_ref, y_ref = refs
+    if lmax == 1:
+        vals_ref, slot_ref, gsub_ref, bm_ref, x_ref, y_ref = refs
+        bl_ref = bs_ref = bm_ref
+    else:
+        vals_ref, slot_ref, gsub_ref, bl_ref, bs_ref, x_ref, y_ref = refs
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -440,25 +510,21 @@ def _routed_kernel_batched(
         pall = jnp.concatenate(
             [products(j, b) for j in range(tchunk)], axis=0
         )
-        incl = jax.lax.dot_general(
-            pall, upper, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        rowsum = incl[:, 127:128]
-        carry = jax.lax.dot_general(
-            bd_strict, rowsum, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        pf_all = incl + carry
+        pf_all = _flat_prefix(pall, upper, bd_strict)
         for j in range(tchunk):
             pf = pf_all[j * 8 : (j + 1) * 8, :]
             for k in range(lmax):
-                offp = (j * npair + k // 2) * 8
-                raw = _srl(bl_ref[0, offp : offp + 8, :], 14 * (k % 2))
-                offq = (j * nquad + k // 4) * 8
-                q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
+                if lmax == 1:
+                    raw = bm_ref[0, j * 8 : (j + 1) * 8, :]
+                    q = _srl(raw, 14)
+                    q = (q & 7) | ((_srl(q, 3) & 7) << 4)
+                else:
+                    offp = (j * npair + k // 2) * 8
+                    raw = _srl(
+                        bl_ref[0, offp : offp + 8, :], 14 * (k % 2)
+                    )
+                    offq = (j * nquad + k // 4) * 8
+                    q = _srl(bs_ref[0, offq : offq + 8, :], 8 * (k % 4))
                 ga = jnp.take_along_axis(
                     jnp.take_along_axis(pf, q & 7, axis=0),
                     raw & 127, axis=1,
@@ -486,7 +552,12 @@ def spmv_routed_stream_batched_pallas(
     y f32 [B*nyt*8, 128].  The stream is DMA'd once per chunk for the
     whole panel."""
     nch, tchunk, W, l1, lmax = dims
-    vals, slot, gsub, bl, bs, base, byt, lt = packed
+    if lmax == 1:
+        vals, slot, gsub, bm, base, byt, lt = packed
+        data = (vals, slot, gsub, bm)
+    else:
+        vals, slot, gsub, bl, bs, base, byt, lt = packed
+        data = (vals, slot, gsub, bl, bs)
     npair = -(-lmax // 2)
     nquad = -(-lmax // 4)
     nwinp = xb2d.shape[0] // (8 * B)
@@ -500,9 +571,14 @@ def spmv_routed_stream_batched_pallas(
 
     in_specs = [
         spec(tchunk * 8), spec(tchunk * 8), spec(tchunk * 8),
-        spec(tchunk * npair * 8), spec(tchunk * nquad * 8),
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # x panel resident
     ]
+    if lmax == 1:
+        in_specs += [spec(tchunk * 8)]
+    else:
+        in_specs += [
+            spec(tchunk * npair * 8), spec(tchunk * nquad * 8),
+        ]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]  # x panel
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nch,),
@@ -517,9 +593,7 @@ def spmv_routed_stream_batched_pallas(
         _routed_kernel_batched, tchunk=tchunk, W=W, l1=l1, lmax=lmax,
         B=B, nwinp=nwinp, nytp=num_ytiles,
     )
-    nbytes = int(
-        vals.size + slot.size + gsub.size + bl.size + bs.size
-    ) * 4
+    nbytes = sum(int(a.size) for a in data) * 4
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -532,4 +606,4 @@ def spmv_routed_stream_batched_pallas(
             bytes_accessed=nbytes + xb2d.size * 4,
             transcendentals=0,
         ),
-    )(base, byt, lt, vals, slot, gsub, bl, bs, xb2d)
+    )(base, byt, lt, *data, xb2d)

@@ -208,6 +208,32 @@ def _greedy_merge(strip_of: np.ndarray, bc: np.ndarray, cap: int):
     return gid
 
 
+def _sort_mrc(
+    mcell: np.ndarray, rows: np.ndarray, cols: np.ndarray,
+    R: int, C: int,
+) -> np.ndarray:
+    """argsort by (mcell, row, col) — the planner's dominant cost.  When
+    the composite key fits 63 bits (every suite matrix), one native
+    parallel radix sort replaces the three-key np.lexsort (the reference
+    parallelizes its prepare driver the same way,
+    spmv-helper.cpp:642-715)."""
+    from hispmv_tpu import native
+
+    rb = max(int(R - 1).bit_length(), 1)
+    cb = max(int(C - 1).bit_length(), 1)
+    mmax = int(mcell.max()) if len(mcell) else 0
+    if mmax.bit_length() + rb + cb <= 63:
+        key = (
+            (mcell.astype(np.uint64) << np.uint64(rb + cb))
+            | (rows.astype(np.uint64) << np.uint64(cb))
+            | cols.astype(np.uint64)
+        )
+        order = native.radix_argsort(key)
+        if order is not None:
+            return order
+    return np.lexsort((cols, rows, mcell))
+
+
 def _distinct_rank(
     group: np.ndarray, val: np.ndarray, width: int = 8
 ) -> np.ndarray:
@@ -216,7 +242,12 @@ def _distinct_rank(
     pair share a rank).  Used for conflict layering: a (target sublane,
     source lane) cell can serve one source per gather layer.  ``width``
     must exceed every val (the combined sort key is group*width+val)."""
+    from hispmv_tpu import native
+
     key = group * width + val
+    rank = native.distinct_rank(key, width)
+    if rank is not None:
+        return rank
     o = np.argsort(key, kind="stable")
     k_s = key[o]
     new_s = np.ones(len(o), bool)
@@ -251,6 +282,29 @@ def _chain_bases(tile: np.ndarray, key: np.ndarray, need: np.ndarray,
     return base
 
 
+def winband_table(
+    rows: np.ndarray, cols: np.ndarray, shape: tuple
+) -> tuple:
+    """Distinct (window, band) pairs + their nnz counts — ONE pass over
+    the nnz, shared by every strip-width estimate (the per-width unique
+    passes over the full nnz were the DSE's dominant cost).  Returns
+    (win, band, counts) aligned arrays sorted by (win, band)."""
+    R, C = shape
+    nwin = max(-(-C // WINDOW), 1)
+    nyt = max(-(-R // WINDOW), 1)
+    key = (
+        (cols.astype(np.int64, copy=False) // WINDOW) * np.int64(nyt)
+        + rows.astype(np.int64, copy=False) // WINDOW
+    )
+    if nwin * nyt <= (1 << 26):
+        cnt = np.bincount(key, minlength=nwin * nyt)
+        pairs = np.nonzero(cnt)[0]
+        counts = cnt[pairs]
+    else:
+        pairs, counts = np.unique(key, return_counts=True)
+    return pairs // nyt, pairs % nyt, counts.astype(np.int64)
+
+
 def estimate_routed_cost_ns(
     rows: np.ndarray,
     cols: np.ndarray,
@@ -258,27 +312,41 @@ def estimate_routed_cost_ns(
     strip_windows: int = 4,
     l_cap: int = L_CAP,
     conflict_sample: bool = False,
+    table: Optional[tuple] = None,
 ) -> dict:
-    """Cheap (a few unique passes, no packing) estimate of a v4 routed
-    plan's cost for the model-only DSE: mirrors the planner's macro-cell
-    grouping + same-strip merging, estimating the per-tile window span
-    from per-group window coverage and boundary layers from per-group
-    band coverage.  Returns {tiles, est_ns, stream_bytes, fill}."""
+    """Cheap estimate of a v4 routed plan's cost for the model-only DSE:
+    mirrors the planner's macro-cell grouping + same-strip merging,
+    estimating the per-tile window span from per-group window coverage
+    and boundary layers from per-group band coverage.  All per-cell
+    statistics aggregate the tiny (window, band) count table
+    (``winband_table``; pass one in to share it across strip widths)
+    instead of re-scanning the nnz.  ``rows``/``cols`` may be None when
+    a table is given and ``conflict_sample`` is False.
+    Returns {tiles, est_ns, stream_bytes, fill}."""
     R, C = shape
-    n = len(rows)
-    if n == 0:
+    if table is None:
+        if len(rows) == 0:
+            return {"tiles": 0, "est_ns": 0.0, "stream_bytes": 0,
+                    "fill": 1.0}
+        table = winband_table(rows, cols, shape)
+    t_win, t_band, t_cnt = table
+    if len(t_cnt) == 0:
         return {"tiles": 0, "est_ns": 0.0, "stream_bytes": 0, "fill": 1.0}
+    n = int(t_cnt.sum())
     nwin = max(-(-C // WINDOW), 1)
     nyt = max(-(-R // WINDOW), 1)
     nbb = max(-(-nyt // l_cap), 1)
-    rows = rows.astype(np.int64, copy=False)
-    cols = cols.astype(np.int64, copy=False)
-    mcell = ((cols // WINDOW) // strip_windows) * nbb \
-        + (rows // WINDOW) // l_cap
-    uc, csz = np.unique(mcell, return_counts=True)
-    ub = np.unique(mcell * np.int64(nyt) + rows // WINDOW)
+    # per-cell stats from the table: cells are (strip, band-block) groups
+    # of table rows; table rows are distinct (win, band) pairs
+    t_mcell = (t_win // strip_windows) * nbb + t_band // l_cap
+    uc, inv = np.unique(t_mcell, return_inverse=True)
+    csz = np.bincount(inv, weights=t_cnt.astype(np.float64)).astype(
+        np.int64
+    )
+    # distinct bands/windows per cell from distinct (cell, band/win) pairs
+    ub = np.unique(t_mcell * np.int64(nyt) + t_band)
     bc = np.bincount(np.searchsorted(uc, ub // nyt), minlength=len(uc))
-    uw = np.unique(mcell * np.int64(nwin) + cols // WINDOW)
+    uw = np.unique(t_mcell * np.int64(nwin) + t_win)
     wc = np.bincount(np.searchsorted(uc, uw // nwin), minlength=len(uc))
     strip_of = uc // nbb
     # same greedy same-strip merge as the planner
@@ -321,6 +389,12 @@ def estimate_routed_cost_ns(
         take = order_g[: max(int(np.searchsorted(csum, budget)), 1) + 1]
         sample = np.zeros(ng, bool)
         sample[keep_ids[take]] = True
+        # the sample needs actual coordinates: per-nnz mcell (computed
+        # lazily — only the two cheapest strip widths pay this pass)
+        rows = rows.astype(np.int64, copy=False)
+        cols = cols.astype(np.int64, copy=False)
+        mcell = ((cols // WINDOW) // strip_windows) * nbb \
+            + (rows // WINDOW) // l_cap
         sel = sample[gid[np.searchsorted(uc, mcell)]]
         if sel.any():
             rs, cs = rows[sel], cols[sel]
@@ -382,10 +456,12 @@ def best_routed_estimate(
     mode.  The pass-1 conflict-eviction sample (the term that separates
     ranked from unranked plans on clustered matrices) is only measured
     for the two cheapest strip widths — it costs a sample sort."""
+    table = winband_table(rows, cols, shape)
     ests = sorted(
         (
             estimate_routed_cost_ns(
-                rows, cols, shape, strip_windows=sw, l_cap=l_cap
+                rows, cols, shape, strip_windows=sw, l_cap=l_cap,
+                table=table,
             )["est_ns"],
             sw,
         )
@@ -395,7 +471,7 @@ def best_routed_estimate(
         (
             estimate_routed_cost_ns(
                 rows, cols, shape, strip_windows=sw, l_cap=l_cap,
-                conflict_sample=True,
+                conflict_sample=True, table=table,
             )
             for _, sw in ests[:2]
         ),
@@ -435,11 +511,12 @@ def build_routed_plan(
     runner-up when demotion made the residual heavy, keeping the plan
     with the lower modeled cost."""
     if strip_windows == 0:
+        table = winband_table(coo.rows, coo.cols, coo.shape)
         ests = sorted(
             (
                 estimate_routed_cost_ns(
-                    coo.rows, coo.cols, coo.shape,
-                    strip_windows=sw, l_cap=l_cap,
+                    None, None, coo.shape,
+                    strip_windows=sw, l_cap=l_cap, table=table,
                 )["est_ns"],
                 sw,
             )
@@ -544,7 +621,7 @@ def _build_routed_plan(
     nbb = max(-(-nyt // l_cap), 1)
     mcell = ((cols // WINDOW) // strip_windows) * nbb \
         + (rows // WINDOW) // l_cap
-    order = np.lexsort((cols, rows, mcell))
+    order = _sort_mrc(mcell, rows, cols, R, C)
     rows, cols, vals = rows[order], cols[order], vals[order]
     mcell = mcell[order]
 
@@ -609,6 +686,14 @@ def _build_routed_plan(
     real = ~pad
 
     def tile_stats(T0, tile_of, p_win, p_band, real):
+        from hispmv_tpu import native
+
+        nst = native.routed_tile_stats(p_win, p_band, ~real)
+        if nst is not None:
+            nnz_t, wmin_t, span_t, band_t = (
+                a.astype(np.int64) for a in nst
+            )
+            return nnz_t, wmin_t, span_t, band_t
         nnz_t = np.bincount(tile_of[real], minlength=T0)
         wmin_t = np.full(T0, np.iinfo(np.int64).max, np.int64)
         np.minimum.at(wmin_t, tile_of, p_win)
@@ -1292,9 +1377,15 @@ def estimate_banded_routed_ns(
         cols = crank[cols]
     nb = -(-R // band_rows)
     npn = -(-C // panel_cols)
-    cell_of = (rows // band_rows) * npn + (cols // panel_cols)
-    order = np.argsort(cell_of, kind="stable")
-    bounds = np.searchsorted(cell_of[order], np.arange(nb * npn + 1))
+    # band_rows/panel_cols are WINDOW multiples, so the global
+    # (window, band) table partitions exactly into grid cells — the
+    # per-cell estimates aggregate table slices, never re-scan the nnz
+    t_win, t_band, t_cnt = winband_table(rows, cols, (R, C))
+    bw = band_rows // WINDOW
+    pw = panel_cols // WINDOW
+    t_cell = (t_band // bw) * npn + (t_win // pw)
+    order = np.argsort(t_cell, kind="stable")
+    bounds = np.searchsorted(t_cell[order], np.arange(nb * npn + 1))
     est_ns = 0.0
     tiles = 0
     sbytes = 0
@@ -1307,10 +1398,10 @@ def estimate_banded_routed_ns(
         nrows = min(band_rows, R - bi * band_rows)
         ncols = min(panel_cols, C - pi * panel_cols)
         sel = order[lo:hi]
+        local = (t_win[sel] - pi * pw, t_band[sel] - bi * bw, t_cnt[sel])
         e = min(
             (estimate_routed_cost_ns(
-                rows[sel] - bi * band_rows, cols[sel] - pi * panel_cols,
-                (nrows, ncols), strip_windows=sw,
+                None, None, (nrows, ncols), strip_windows=sw, table=local,
             ) for sw in (4, 32)),
             key=lambda d: d["est_ns"],
         )
