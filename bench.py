@@ -135,10 +135,10 @@ def bench_matrix(name: str, scale: float) -> dict:
     # one per close format family) is ON by default for ALL matrices: the
     # model's cross-family ranking is only good to ~2x on irregular
     # classes, and measured winners are cached (one-time cost per matrix)
-    # so repeat runs are model-free.  >8M-nnz matrices measure one fewer
-    # extra candidate to bound the one-time cost.  Override with
-    # HISPMV_BENCH_MEASURE=N (0 disables).
-    default_measure = "2" if coo.nnz < 8_000_000 else "1"
+    # so repeat runs are model-free.  measure=2 is the smallest value
+    # that actually measures (tune() treats <=1 as model-only).
+    # Override with HISPMV_BENCH_MEASURE=N (0 disables).
+    default_measure = "2"
     t0 = time.time()
     res = tune(
         coo,

@@ -13,6 +13,7 @@ whose constants live in plan/routed.py (TILE_BASE_NS etc.).
 Run: python benchmarks/microbench_slab.py
 """
 import os
+import time
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -102,7 +103,16 @@ def main():
         (1, 1, 16, 8), (16, 2, 16, 8), (32, 4, 32, 8),
     ]:
         s = synth_stream(T, W, l1, lmax, nwin, nyt, rng)
-        t = time_stream(s, nwin, nyt, rng, tchunk=tch) * 1e9
+        t = None
+        for attempt in range(3):  # relay compiles fail transiently
+            try:
+                t = time_stream(s, nwin, nyt, rng, tchunk=tch) * 1e9
+                break
+            except Exception as e:
+                print(f"  retry {W},{l1},{lmax}: {e!r}"[:120], flush=True)
+                time.sleep(5)
+        if t is None:
+            continue
         grid.append((W, l1, lmax, t))
         print(f"{W:4d} {l1:3d} {lmax:4d} {tch:6d} {t:8.1f}", flush=True)
     # least squares fit

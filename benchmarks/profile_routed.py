@@ -41,7 +41,7 @@ def profile(name: str):
     coo = suite_matrix(name, scale=1.0)
     # find the cached plan
     import glob
-    paths = glob.glob(f"/tmp/hispmv_plan_cache/{name}-1.0-v5-routed*.npz")
+    paths = glob.glob(f"/tmp/hispmv_plan_cache/{name}-1.0-*routed*.npz")
     if not paths:
         log(f"[{name}] no cached routed plan; building (rank_sort=False)")
         h = SpmvHandle(coo, format="routed")
@@ -100,16 +100,14 @@ def profile(name: str):
     xf = xf.astype(np.float32)
     xp = jnp.asarray(h._pad_x(jnp.asarray(xf)))
 
-    # full runner
-    fn, args = h.explicit_runner()
-    def step_full(c):
-        x, acc = c
-        y = fn(args, x)
-        dep = y.ravel()[:1].astype(x.dtype) * 1e-30
-        return (x + dep, acc + dep[0])
-    t_full = measure_loop_time(step_full, (xp, jnp.zeros((), jnp.float32)))
-    log(f"[{name}] FULL: {t_full*1e6:.1f}us "
-        f"({2*(coo.nnz+coo.num_rows)/t_full/1e9:.1f} GFLOP/s)")
+    def timed(step, carry):
+        for attempt in range(3):  # relay compiles fail transiently
+            try:
+                return measure_loop_time(step, carry)
+            except Exception as e:
+                log(f"    retry: {e!r}"[:120])
+                time.sleep(5)
+        return float("nan")
 
     # per-segment kernels (flat plans only, or per cell)
     def time_segments(pfx, m, xloc):
@@ -129,8 +127,7 @@ def profile(name: str):
                 names = stream_array_names(sm["dims"][4])
                 p = pfx + f"s{i}g{gi}_"
                 packed = tuple(d[p + n] for n in names) + (
-                    d[p + "base"], d[p + "win"], d[p + "byt"],
-                    d[p + "lt"])
+                    d[p + "base"], d[p + "byt"], d[p + "lt"])
                 def seg_fn(ar, xx):
                     return spmv_routed_stream_pallas(
                         ar, sm["dims"], xx, nytp)
@@ -141,8 +138,7 @@ def profile(name: str):
                     dep = y.ravel()[:1] * 1e-30
                     return (x + dep[0] * jnp.ones_like(x), acc + dep[0])
                 # NB: cheap dep; x2d shared
-                t = measure_loop_time(
-                    step, (x2d, jnp.zeros((), jnp.float32)))
+                t = timed(step, (x2d, jnp.zeros((), jnp.float32)))
                 nch, tchunk, W, l1p, lp = sm["dims"]
                 tiles = nch * tchunk
                 per_tile = (t * 1e9 - LAUNCH_NS) / max(tiles, 1)
@@ -154,6 +150,21 @@ def profile(name: str):
     if os.environ.get("PROFILE_SEGMENTS", "1") == "1":
         time_segments("", meta, xp)
 
+    # full runner LAST (largest compile; a relay hiccup must not cost
+    # the per-segment data).  Plan arrays ride the CARRY, never a
+    # closure (closure capture ships them as lowered-module constants —
+    # observed as HTTP 413 multi-GB remote-compile requests).
+    fn, args = h.explicit_runner()
+
+    def step_full(c):
+        ar, x, acc = c
+        y = fn(ar, x)
+        dep = y.ravel()[:1].astype(x.dtype) * 1e-30
+        return (ar, x + dep, acc + dep[0])
+
+    t_full = timed(step_full, (args, xp, jnp.zeros((), jnp.float32)))
+    log(f"[{name}] FULL: {t_full*1e6:.1f}us "
+        f"({2*(coo.nnz+coo.num_rows)/t_full/1e9:.1f} GFLOP/s)")
     return
 
 

@@ -617,9 +617,14 @@ class SpmvHandle:
             )
         n_res = len(plan.residual_vals)
         if n_res:
-            # Small residuals: element scatter/gather (~16 ns/nnz) beats an
-            # ELLX base spanning the full row space (R * 516 B).
-            if n_res * 1.6e-8 < shape[0] * 516 / 450e9:
+            # Small residuals: element scatter/gather beats an ELLX base
+            # spanning the full row space.  Both constants MEASURED on
+            # chip (2026-08-20): XLA scatter-add 16 ns/nnz; bh=1
+            # full-height ELLX ~11 ns/ROW fixed + ~2.5 ns/nnz (the old
+            # bandwidth-only ELLX model was 10x optimistic — it charged
+            # mouse_gene 52 us for a residual that measured 495 us and
+            # ate 21% of the matvec).
+            if n_res * 16e-9 < shape[0] * 11e-9 + n_res * 2.5e-9:
                 meta["res_coo"] = True
                 d[prefix + "r_rows"] = jnp.asarray(
                     plan.residual_rows.astype(np.int32)

@@ -23,10 +23,12 @@ analog of the reference's per-nnz dataflow: the butterfly crossbar and
 out-of-order scheduler become plan-time routing arrays
 (base_functions.cpp:356-436, spmv-helper.cpp:429-515).
 
-Measured (v5e, loop-slope, v4 calibration 2026-08-19, effective constants
-incl. stream DMA): ~53 ns per tile + ~0.95 ns per window of span PER
-LAYER + ~4 ns fixed per extra layer + ~10.8 ns per boundary layer (every
+Measured (v5e, loop-slope, v5 calibration 2026-08-20, effective constants
+incl. stream DMA): ~26 ns per tile + ~1.0 ns per window of span + ~2.2 ns
+fixed per extra pass-1 layer + ~13.3 ns per boundary layer (every
 class-cap layer runs; padding reads the reserved zero slot, adds zeros).
+The kernel is COMPUTE-bound at tchunk=32: the lmax=2 step adds a stream
+word with no extra DMA-visible cost (double-buffering hides it).
 """
 
 from __future__ import annotations
@@ -335,12 +337,7 @@ def _routed_kernel(
         [products(j) for j in range(tchunk)], axis=0
     )  # (M, 128)
 
-    # ---- phase B: batched per-tile flat prefix (3 matmuls per CHUNK) ----
-    # Lane prefix via hi/lo bf16 split: the 0/1 triangular mask is EXACT
-    # in bf16, so two DEFAULT-precision MXU passes reproduce the f32
-    # product sums to ~2^-17 relative (measured ~9 ns/tile faster than
-    # one HIGHEST = bf16_6x matmul; the reference's fp32 accumulators
-    # carry the same rounding class, spmv-helper.cpp:812-833).
+    # ---- phase B: batched per-tile flat prefix (see _flat_prefix) ------
     pf_all = _flat_prefix(pall, upper, bd_strict)
 
     # ---- phase C: segmented subtract + single-side boundary extraction --

@@ -77,17 +77,23 @@ from hispmv_tpu.formats.matrix import COOMatrix
 WINDOW = 1024  # columns per window = one (8,128) x tile
 TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 
-# Measured per-tile cost constants (v5e, loop-slope, 2026-08-19 v4
-# calibration over controlled (W, lmax) synthetic streams).  These are
-# EFFECTIVE linear constants: each dimension's share of stream DMA is
-# folded into its coefficient.  Every class-cap boundary layer executes
-# (padded layers add exact zeros), so a tile is charged its CLASS's lmax;
-# the select tree is unrolled to the CLASS's W.
-TILE_BASE_NS = 53.0
-TILE_W_NS = 0.95  # per window of the tile's span beyond the first
-TILE_OV_NS = 2.5  # per extra pass-1 slab layer (window loads are
+# Measured per-tile cost constants (v5e, loop-slope, 2026-08-20 v5
+# calibration over controlled (W, l1, lmax) synthetic streams through the
+# real pack_stream — the bf16x3 prefix and the lmax=1 merged-boundary-
+# word path are both in the measurement).  These are EFFECTIVE linear
+# constants: each dimension's share of stream DMA is folded into its
+# coefficient (the kernel measured COMPUTE-bound at tchunk=32 — the
+# lmax=1->2 step adds a whole stream word yet costs the same ~13 ns as
+# every further boundary layer, i.e. DMA fully overlaps).  Every
+# class-cap boundary layer executes (padded layers add exact zeros), so
+# a tile is charged its CLASS's lmax; the select tree is unrolled to the
+# CLASS's W.
+TILE_BASE_NS = 26.0
+TILE_W_NS = 1.0  # per window of the tile's span beyond the first
+TILE_OV_NS = 2.2  # per extra pass-1 slab layer (window loads are
 # shared with layer 0, so extra layers do NOT pay the span tree again)
-TILE_BND_NS = 10.8  # per boundary layer (two-sided, validity-free)
+TILE_BND_NS = 13.3  # per boundary layer (two-sided, validity-free;
+# includes the tchunk shrink heavy-lmax classes pay for VMEM fit)
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
 W_CAP = 64  # max window span per tile (6 bits in the gsub field)
 L1_CAP = 5  # pass-1 slab layers: three 9-bit fields in gsub + two more
@@ -591,6 +597,23 @@ def _repack_residual_once(
     )
 
 
+def _plan_tick(label: str, state: list) -> None:
+    """Stage timer for plan builds, enabled by HISPMV_PLAN_DEBUG=1."""
+    import os
+    import sys
+    import time
+
+    if not os.environ.get("HISPMV_PLAN_DEBUG"):
+        return
+    now = time.time()
+    if state:
+        print(
+            f"    plan stage {state[1]:24s} {now - state[0]:6.2f}s",
+            file=sys.stderr, flush=True,
+        )
+    state[:] = [now, label]
+
+
 def _build_routed_plan(
     coo: COOMatrix,
     strip_windows: int,
@@ -600,6 +623,8 @@ def _build_routed_plan(
     w_cap: int = W_CAP,
 ) -> RoutedPlan:
     l1_cap = min(l1_cap, L1_CAP)  # the rank field is 3 bits
+    _tk: list = []
+    _plan_tick("start", _tk)
     R, C = coo.shape
     nwin = max(-(-C // WINDOW), 1)
     nyt = max(-(-R // WINDOW), 1)
@@ -622,8 +647,10 @@ def _build_routed_plan(
     mcell = ((cols // WINDOW) // strip_windows) * nbb \
         + (rows // WINDOW) // l_cap
     order = _sort_mrc(mcell, rows, cols, R, C)
+    _plan_tick("sort_mrc", _tk)
     rows, cols, vals = rows[order], cols[order], vals[order]
     mcell = mcell[order]
+    _plan_tick("gather_sorted", _tk)
 
     # ---- merge cells into tile groups, pad groups to whole tiles --------
     # Cells of one STRIP share the window budget, so consecutive
@@ -639,6 +666,7 @@ def _build_routed_plan(
     )
     strip_of = uc // nbb
     gid = _greedy_merge(strip_of, bc, l_cap)
+    _plan_tick("cell_merge", _tk)
     gsz = np.bincount(gid, weights=ssize.astype(np.float64)).astype(
         np.int64
     )
@@ -677,6 +705,7 @@ def _build_routed_plan(
     l0 = np.arange(0, N, 128)
     p_rows[l0] = p_rows[l0 + 1]
     p_cols[l0] = p_cols[l0 + 1]
+    _plan_tick("slot_scatter_fill", _tk)
 
     # ---- per-tile stats + demotion to residual --------------------------
     aridx = np.arange(N)
@@ -707,6 +736,7 @@ def _build_routed_plan(
     nnz_t, wmin_t, span_t, band_t = tile_stats(
         T0, tile_of, p_win, p_band, real
     )
+    _plan_tick("tile_stats", _tk)
     cost_t = (
         TILE_BASE_NS
         + TILE_W_NS * np.maximum(span_t - 1, 0)
@@ -769,6 +799,7 @@ def _build_routed_plan(
     cell = (tile_of[ridx] * 8 + s_of[ridx]) * 128 + src_lane[ridx]
     gs = win_local[ridx] * 8 + src_sub[ridx]
     layer1 = _distinct_rank(cell, gs, width=512)
+    _plan_tick("pass1_rank", _tk)
 
     evict1 = layer1 >= l1_cap
     if evict1.any():
@@ -781,6 +812,7 @@ def _build_routed_plan(
 
     l1_t = np.ones(T0, np.int64)
     np.maximum.at(l1_t, tile_of[ridx], layer1 + 1)
+    _plan_tick("pass1_evict", _tk)
 
     # ---- row runs & boundary entries (two-sided, v3 machinery) ----------
     brk = np.ones(N, bool)
@@ -819,6 +851,7 @@ def _build_routed_plan(
     baseb = _chain_bases(ukb // nyt, ukb % nyt, needb, firstb)
     layer_a = baseb[invb] + rank_a
     layer_b = baseb[invb] + rank_b
+    _plan_tick("boundary_rank", _tk)
 
     evict_run = (layer_a >= l_cap) | (has_b & (layer_b >= l_cap))
     if evict_run.any():
@@ -858,6 +891,7 @@ def _build_routed_plan(
         bb = np.repeat(cb, reps)
         ok = ll < l_cap
         byt_l[tt[ok], ll[ok]] = bb[ok]
+    _plan_tick("byt_chains", _tk)
 
     # ---- class partition (up to max_streams by bucketed dims) -----------
     def _bucket(n, cap):
@@ -882,6 +916,7 @@ def _build_routed_plan(
     ucls, cls_inv, cls_cnt = np.unique(
         classes, return_inverse=True, return_counts=True
     )
+    _plan_tick("class_partition", _tk)
     # order classes by PADDING cost; merge cheapest-adjacent until
     # <= max_streams, and keep merging while a merge beats the launch it
     # saves
@@ -907,74 +942,85 @@ def _build_routed_plan(
         else:
             break
 
-    # ---- emit one compressed stream per class ---------------------------
+    # ---- emit one compressed stream per class group (single pass) -------
+    # All slot-level routing words are computed ONCE over the global slot
+    # arrays (the per-stream re-scans of all N slots were the planner's
+    # single largest cost on 30M-nnz matrices); per-stream arrays are then
+    # one stable tile permutation + contiguous slices.
+
+    def _grp_dims(g):
+        ds = [_cls_dims(ucls[i]) for i in g]
+        return (max(d[0] for d in ds), max(d[1] for d in ds),
+                max(d[2] for d in ds))
+
+    groups.sort(key=lambda g: _cls_cost(*_grp_dims(g)))
+    gdims = [_grp_dims(g) for g in groups]
+    sid_cls = np.empty(len(ucls), np.int32)
+    for si, g in enumerate(groups):
+        sid_cls[np.asarray(g)] = si
+    sid_t = sid_cls[cls_inv]
+    sW_t = np.array([d[0] for d in gdims], np.int64)[sid_t]
+
+    # slab trees read windows [base, base+sW): clamp base left so reads
+    # stay inside the executor's pow-2-padded x (edge tiles whose span <
+    # the class span would otherwise read past the end); gs shifts by the
+    # clamp delta
+    nwinp = _bucket(nwin, 1 << 30)
+    base_cl_t = np.maximum(np.minimum(wmin_t, nwinp - sW_t), 0)
+    delta_t = wmin_t - base_cl_t  # >= 0 per tile
+
+    # global slot word: lane | rank<<7 at slot positions (padding slots
+    # carry a forward-filled lane and rank 0 — their value is 0); layer
+    # 3-4 cell fields ride the free bits 10/19 (disjoint bit planes)
     p_layer = np.zeros(N, np.int64)
     p_layer[ridx] = layer1
-    streams = []
-    for g in groups:
-        sel_cls = np.zeros(len(ucls), bool)
-        sel_cls[np.asarray(g)] = True
-        tiles = np.nonzero(sel_cls[cls_inv])[0]
-        if len(tiles) == 0:
+    g_slot = (src_lane | (p_layer << 7)).astype(np.uint32)
+    # global gsub word at (row, SOURCE-lane) CELL positions: layer-l
+    # source (win_local<<3 | sub) at bits 9*l; within a layer, cells are
+    # unique-or-equal by the rank construction, so OR-assign is exact
+    g_gsub = np.zeros(N, np.uint32)
+    cellpos = (tile_of[ridx] * 8 + s_of[ridx]) * 128 + src_lane[ridx]
+    f_all = (gs + 8 * delta_t[tile_of[ridx]]).astype(np.uint32)
+    lmax1 = int(layer1.max()) + 1 if len(layer1) else 0
+    for l in range(lmax1):
+        ml = layer1 == l
+        if not ml.any():
             continue
-        dims_g = [_cls_dims(ucls[i]) for i in g]
-        sW = int(max(d[0] for d in dims_g))
-        sl1 = int(max(d[1] for d in dims_g))
-        sL = int(max(d[2] for d in dims_g))
-        Ts = len(tiles)
-        # map original tile id -> stream-local tile id
-        tmap = np.full(T0, -1, np.int64)
-        tmap[tiles] = np.arange(Ts)
+        if l < 3:
+            g_gsub[cellpos[ml]] |= f_all[ml] << np.uint32(9 * l)
+        else:  # layers 3-4 ride the slot word's free bits
+            g_slot[cellpos[ml]] |= f_all[ml] << np.uint32(10 + 9 * (l - 3))
+    g_vals = p_vals.astype(np.float32, copy=True)
+    # force the reserved zero slots (P'[0,0] == 0 is what lets boundary/
+    # start pointers skip validity bits entirely)
+    g_vals.reshape(-1, 128)[:, 0] = 0.0
 
-        slot_sel = tmap[tile_of] >= 0
-        st = tmap[tile_of[slot_sel]]
-        ss = s_of[slot_sel]
-        sj = j_of[slot_sel]
+    # stable tile permutation: stream s's tiles contiguous, cheapest
+    # class first (grid pipelines stream large/cheap classes first)
+    torder = np.argsort(sid_t, kind="stable")
+    tpos = np.empty(T0, np.int64)
+    tpos[torder] = np.arange(T0)
+    Ts_s = np.bincount(sid_t, minlength=len(groups))
+    off_s = np.concatenate([[0], np.cumsum(Ts_s)])
+    gpos_e = tpos[e_tile]  # permuted position per boundary entry
+    sid_e = sid_t[e_tile]
 
-        vals_s = np.zeros((Ts, 8, 128), np.float32)
-        vals_s[st, ss, sj] = p_vals[slot_sel]
-        # force the reserved zero slots (P'[0,0] == 0 is what lets
-        # boundary/start pointers skip validity bits entirely)
-        vals_s[:, :, 0] = 0.0
-        # slot word: lane | layer<<7 at SLOT positions (layer-3/4 cell
-        # fields are OR'd into bits 10/19 below — disjoint bit planes)
-        slot_s = np.zeros(Ts * TILE, np.uint32)
-        spos = (st * 8 + ss) * 128 + sj
-        slot_s[spos] = (
-            src_lane[slot_sel] | (p_layer[slot_sel] << 7)
-        ).astype(np.uint32)
-        # gsub word at (row, SOURCE-lane) cell positions: layer-l source
-        # (win_local<<3 | sub) at bits 9*l.  One vectorized OR-assign per
-        # layer: within a layer, cells are unique-or-equal by the rank
-        # construction.
-        # The slab tree reads windows [base, base+sW): clamp base left so
-        # the reads stay inside the executor's pow-2-padded x (edge tiles
-        # whose span < the class span would otherwise read past the end);
-        # gs shifts by the clamp delta.
-        nwinp = _bucket(nwin, 1 << 30)
-        base_cl = np.maximum(
-            np.minimum(wmin_t[tiles], nwinp - sW), 0
-        )
-        delta = wmin_t[tiles] - base_cl  # >= 0, per stream-local tile
-        gsub_s = np.zeros(Ts * TILE, np.uint32)
-        rsel = tmap[tile_of[ridx]] >= 0
-        cl = (
-            (tmap[tile_of[ridx]] * 8 + s_of[ridx]) * 128
-            + src_lane[ridx]
-        )
-        for l in range(sl1):
-            ml = rsel & (layer1 == l)
-            if not ml.any():
-                continue
-            f = (gs[ml] + 8 * delta[tmap[tile_of[ridx[ml]]]]).astype(
-                np.uint32
-            )
-            if l < 3:
-                gsub_s[cl[ml]] |= f << np.uint32(9 * l)
-            else:  # layers 3-4 ride the slot word's free bits
-                slot_s[cl[ml]] |= f << np.uint32(10 + 9 * (l - 3))
-        gsub_s = gsub_s.view(np.int32).reshape(Ts, 8, 128)
-        slot_s = slot_s.view(np.int32).reshape(Ts, 8, 128)
+    vals_p = g_vals.reshape(T0, TILE)[torder]
+    slot_p = g_slot.reshape(T0, TILE)[torder]
+    gsub_p = g_gsub.reshape(T0, TILE)[torder]
+    byt_p = byt_l[torder]
+    lt_p = L_t[torder]
+    base_p = base_cl_t[torder]
+
+    streams = []
+    for si, (sW, sl1, sL) in enumerate(gdims):
+        Ts = int(Ts_s[si])
+        if Ts == 0:
+            continue
+        lo, hi = int(off_s[si]), int(off_s[si + 1])
+        vals_s = vals_p[lo:hi].reshape(Ts, 8, 128)
+        slot_s = slot_p[lo:hi].view(np.int32).reshape(Ts, 8, 128)
+        gsub_s = gsub_p[lo:hi].view(np.int32).reshape(Ts, 8, 128)
 
         # Bitfield accumulation for bl/bs: contributions are split into
         # CLASSES whose cells are unique (per-(cell, layer) dedup + one
@@ -989,8 +1035,8 @@ def _build_routed_plan(
 
         npair = -(-sL // 2)
         nquad = -(-sL // 4)
-        esel = tmap[e_tile] >= 0
-        et = tmap[e_tile[esel]]
+        esel = sid_e == si
+        et = gpos_e[esel] - lo
         ea, eb = layer_a[esel], layer_b[esel]
         ey, ej = sy[esel], jy[esel]
         al, as_ = a_lane[esel], a_sub[esel]
@@ -1050,16 +1096,17 @@ def _build_routed_plan(
         )
 
         streams.append(RoutedStream(
-            num_tiles=Ts, wmax=sW, l1=sl1, lmax=sL,
+            num_tiles=Ts, wmax=int(sW), l1=int(sl1), lmax=int(sL),
             vals=vals_s, slot=slot_s, gsub=gsub_s, bl=bl_s, bs=bs_s,
-            base=base_cl.astype(np.int32),
-            byt=byt_l[tiles, :sL].astype(np.int32),
-            lt=L_t[tiles].astype(np.int32),
+            base=base_p[lo:hi].astype(np.int32),
+            byt=byt_p[lo:hi, :sL].astype(np.int32),
+            lt=lt_p[lo:hi].astype(np.int32),
         ))
 
-    # costliest class last (cheap/large classes stream first)
-    streams.sort(key=lambda s: _cls_cost(s.wmax, s.l1, s.lmax))
-    streams = streams[:RoutedPlan.MAX_STREAMS]
+    _plan_tick("stream_emit", _tk)
+    # groups were emitted cheapest-class-first; the merge loop guarantees
+    # len(streams) <= max_streams <= MAX_STREAMS
+    assert len(streams) <= RoutedPlan.MAX_STREAMS
     if res_parts:
         rr = np.concatenate([p[0] for p in res_parts])
         rc = np.concatenate([p[1] for p in res_parts])
