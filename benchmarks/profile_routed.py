@@ -34,7 +34,7 @@ def profile(name: str):
         spmv_routed_stream_pallas, stream_array_names)
     from hispmv_tpu.plan.routed import (
         LAUNCH_NS, TILE_BASE_NS, TILE_BND_NS, TILE_OV_NS, TILE_W_NS,
-        RESIDUAL_NS, BandedRoutedPlan, plan_cost_ns)
+        TILE_WL_NS, RESIDUAL_NS, BandedRoutedPlan, plan_cost_ns)
     from hispmv_tpu.plan.serialize import load_plan
     from hispmv_tpu.utils.timing import measure_loop_time
 
@@ -74,7 +74,8 @@ def profile(name: str):
     for (pfx, i, gi, nch, tchunk, W, l1p, lp) in rows:
         tiles = nch * tchunk
         m_ns = LAUNCH_NS + tiles * (
-            TILE_BASE_NS + TILE_W_NS * (W - 1) + TILE_OV_NS * (l1p - 1)
+            TILE_BASE_NS + TILE_W_NS * (W - 1)
+            + (TILE_OV_NS + TILE_WL_NS * W) * (l1p - 1)
             + TILE_BND_NS * lp)
         total_model += m_ns
         log(f"  seg {pfx}s{i}g{gi}: tiles={tiles} (nch={nch}x{tchunk}) "
@@ -143,7 +144,8 @@ def profile(name: str):
                 tiles = nch * tchunk
                 per_tile = (t * 1e9 - LAUNCH_NS) / max(tiles, 1)
                 mod = (TILE_BASE_NS + TILE_W_NS * (W - 1)
-                       + TILE_OV_NS * (l1p - 1) + TILE_BND_NS * lp)
+                       + (TILE_OV_NS + TILE_WL_NS * W) * (l1p - 1)
+                       + TILE_BND_NS * lp)
                 log(f"  seg {p}: {t*1e6:.1f}us measured "
                     f"({per_tile:.1f} ns/tile; model {mod:.1f})")
 
@@ -157,12 +159,16 @@ def profile(name: str):
     fn, args = h.explicit_runner()
 
     def step_full(c):
-        ar, x, acc = c
+        x, ar, acc = c
         y = fn(ar, x)
-        dep = y.ravel()[:1].astype(x.dtype) * 1e-30
-        return (ar, x + dep, acc + dep[0])
+        # dep must consume ALL of y: a y[:1] tap lets XLA drop whole
+        # pallas calls for banded plans (cells feeding other bands are
+        # dead code from y[0]'s point of view) — measured 4.0ms vs the
+        # honest 6.4ms on soc-Pokec
+        dep = jnp.sum(y).astype(x.dtype) * 1e-30
+        return (x + dep, ar, acc + dep)
 
-    t_full = timed(step_full, (args, xp, jnp.zeros((), jnp.float32)))
+    t_full = timed(step_full, (xp, args, jnp.zeros((), jnp.float32)))
     log(f"[{name}] FULL: {t_full*1e6:.1f}us "
         f"({2*(coo.nnz+coo.num_rows)/t_full/1e9:.1f} GFLOP/s)")
     return

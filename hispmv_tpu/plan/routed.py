@@ -91,7 +91,13 @@ TILE = 1024  # nnz slots per tile (8 sublanes x 128 lanes)
 TILE_BASE_NS = 26.0
 TILE_W_NS = 1.0  # per window of the tile's span beyond the first
 TILE_OV_NS = 2.2  # per extra pass-1 slab layer (window loads are
-# shared with layer 0, so extra layers do NOT pay the span tree again)
+# shared with layer 0, so extra layers do NOT pay the span tree again
+# at SMALL spans; see TILE_WL_NS)
+TILE_WL_NS = 0.4  # cross term: per (extra layer x window of span).  At
+# W >= ~16 the compiler can no longer keep the whole span in vregs, so
+# each extra pass-1 layer re-pays part of the select tree (measured on
+# soc-Pokec cells: W=32 l1=5 classes ran ~50 ns/tile over the additive
+# model, ~= 0.4 * (l1-1) * W)
 TILE_BND_NS = 13.3  # per boundary layer (two-sided, validity-free;
 # includes the tchunk shrink heavy-lmax classes pay for VMEM fit)
 RESIDUAL_NS = 16.0  # element scatter-add cost per nnz
@@ -375,7 +381,7 @@ def estimate_routed_cost_ns(
     cost_g = tiles_g * (
         TILE_BASE_NS
         + TILE_W_NS * (W_g - 1)
-        + TILE_OV_NS
+        + TILE_OV_NS + TILE_WL_NS * W_g
         + TILE_BND_NS * L_g
     )
     # demotion: groups whose per-nnz cost exceeds the element residual
@@ -496,7 +502,7 @@ def plan_cost_ns(plan: RoutedPlan) -> float:
         t += LAUNCH_NS + s.num_tiles * (
             TILE_BASE_NS
             + TILE_W_NS * (s.wmax - 1)
-            + TILE_OV_NS * (s.l1 - 1)
+            + (TILE_OV_NS + TILE_WL_NS * s.wmax) * (s.l1 - 1)
             + TILE_BND_NS * s.lmax
         )
     t += RESIDUAL_NS * len(plan.residual_vals)
@@ -629,8 +635,11 @@ def _build_routed_plan(
     nwin = max(-(-C // WINDOW), 1)
     nyt = max(-(-R // WINDOW), 1)
 
-    rows = coo.rows.astype(np.int64)
-    cols = coo.cols.astype(np.int64)
+    # All slot-level arrays are int32: every suite matrix has R, C and
+    # the padded slot count N below 2^31, and int64 numpy passes over
+    # 30M-element arrays measured ~2x slower (memory-bound)
+    rows = coo.rows.astype(np.int32)
+    cols = coo.cols.astype(np.int32)
     vals = coo.values.astype(np.float32)
 
     if coo.nnz == 0:
@@ -644,8 +653,16 @@ def _build_routed_plan(
     # to cell boundaries caps both the window span (<= strip_windows) and
     # bands/tile (<= l_cap) by construction
     nbb = max(-(-nyt // l_cap), 1)
-    mcell = ((cols // WINDOW) // strip_windows) * nbb \
-        + (rows // WINDOW) // l_cap
+
+    def _div(a, d):
+        # pow-2 divides compile to shifts (int64 // is the slowest numpy
+        # op on these array sizes)
+        return a >> int(d).bit_length() - 1 if d & (d - 1) == 0 else a // d
+
+    mcell = (
+        _div(cols >> 10, strip_windows) * np.int32(nbb)
+        + _div(rows >> 10, l_cap)
+    ).astype(np.int32)
     order = _sort_mrc(mcell, rows, cols, R, C)
     _plan_tick("sort_mrc", _tk)
     rows, cols, vals = rows[order], cols[order], vals[order]
@@ -660,7 +677,7 @@ def _build_routed_plan(
     # keeps fill high when cells are much smaller than a tile.
     uc, sstart = np.unique(mcell, return_index=True)
     ssize = np.diff(np.concatenate([sstart, [len(rows)]]))
-    ub = np.unique(mcell * np.int64(nyt) + rows // WINDOW)
+    ub = np.unique(mcell.astype(np.int64) * np.int64(nyt) + (rows >> 10))
     bc = np.bincount(
         np.searchsorted(uc, ub // nyt), minlength=len(uc)
     )
@@ -675,17 +692,19 @@ def _build_routed_plan(
     gpad = -(-gsz // PAYLOAD) * TILE
     T0 = int(gpad.sum() // TILE)
     N = T0 * TILE
-    goff = np.concatenate([[0], np.cumsum(gpad)])[:-1]
+    goff = np.concatenate([[0], np.cumsum(gpad)])[:-1].astype(np.int64)
     gfirst = np.concatenate([[0], np.cumsum(gsz)])[:-1]
-    within = np.arange(len(rows)) - np.repeat(gfirst, gsz)
+    within = (
+        np.arange(len(rows), dtype=np.int64) - np.repeat(gfirst, gsz)
+    ).astype(np.int32)
     wt, wp = within // PAYLOAD, within % PAYLOAD
     pos = (
-        np.repeat(goff, gsz)
-        + wt * TILE + (wp // 127) * 128 + 1 + wp % 127
+        np.repeat(goff, gsz).astype(np.int64)
+        + wt.astype(np.int64) * TILE + (wp // 127) * 128 + 1 + wp % 127
     )
 
-    p_rows = np.full(N, -1, np.int64)
-    p_cols = np.zeros(N, np.int64)
+    p_rows = np.full(N, -1, np.int32)
+    p_cols = np.zeros(N, np.int32)
     p_vals = np.zeros(N, np.float32)
     p_rows[pos] = rows
     p_cols[pos] = cols
@@ -694,7 +713,7 @@ def _build_routed_plan(
     if pad.any():
         # padding duplicates the previous real slot with value 0: extends
         # its run, keeps a consistent (window, lane, sub) source
-        idx = np.where(~pad, np.arange(N), 0)
+        idx = np.where(~pad, np.arange(N, dtype=np.int32), np.int32(0))
         np.maximum.accumulate(idx, out=idx)
         p_rows = p_rows[idx]
         p_cols = p_cols[idx]
@@ -708,10 +727,10 @@ def _build_routed_plan(
     _plan_tick("slot_scatter_fill", _tk)
 
     # ---- per-tile stats + demotion to residual --------------------------
-    aridx = np.arange(N)
-    tile_of = aridx // TILE
-    p_win = p_cols // WINDOW
-    p_band = p_rows // WINDOW
+    aridx = np.arange(N, dtype=np.int32)
+    tile_of = aridx >> 10
+    p_win = p_cols >> 10
+    p_band = p_rows >> 10
     real = ~pad
 
     def tile_stats(T0, tile_of, p_win, p_band, real):
@@ -740,6 +759,7 @@ def _build_routed_plan(
     cost_t = (
         TILE_BASE_NS
         + TILE_W_NS * np.maximum(span_t - 1, 0)
+        + TILE_WL_NS * span_t
         + TILE_BND_NS * np.maximum(band_t, 1)
     )
     demote = (
@@ -760,10 +780,10 @@ def _build_routed_plan(
         real = ~pad
         N = len(p_rows)
         T0 = N // TILE
-        aridx = np.arange(N)
-        tile_of = aridx // TILE
-        p_win = p_cols // WINDOW
-        p_band = p_rows // WINDOW
+        aridx = np.arange(N, dtype=np.int32)
+        tile_of = aridx >> 10
+        p_win = p_cols >> 10
+        p_band = p_rows >> 10
         nnz_t, wmin_t, span_t, band_t = tile_stats(
             T0, tile_of, p_win, p_band, real
         )
@@ -790,14 +810,17 @@ def _build_routed_plan(
     # layer l simply serves each cell's l-th distinct source; ranks
     # beyond l1_cap (three 9-bit fields per i32) are evicted and
     # repacked into fresh tiles.
-    src_lane = p_cols % 128
-    src_sub = (p_cols // 128) % 8
-    win_local = p_win - wmin_t[tile_of]
-    j_of = aridx % 128
-    s_of = (aridx % TILE) // 128
+    src_lane = p_cols & np.int32(127)
+    src_sub = (p_cols >> 7) & np.int32(7)
+    win_local = (p_win - wmin_t[tile_of]).astype(np.int32)
+    j_of = aridx & np.int32(127)
+    s_of = (aridx >> 7) & np.int32(7)
     ridx = np.nonzero(real)[0]
-    cell = (tile_of[ridx] * 8 + s_of[ridx]) * 128 + src_lane[ridx]
-    gs = win_local[ridx] * 8 + src_sub[ridx]
+    cell = (
+        (tile_of[ridx].astype(np.int64) * 8 + s_of[ridx]) * 128
+        + src_lane[ridx]
+    )
+    gs = (win_local[ridx] * np.int32(8) + src_sub[ridx]).astype(np.int64)
     layer1 = _distinct_rank(cell, gs, width=512)
     _plan_tick("pass1_rank", _tk)
 
@@ -816,7 +839,7 @@ def _build_routed_plan(
 
     # ---- row runs & boundary entries (two-sided, v3 machinery) ----------
     brk = np.ones(N, bool)
-    brk[1:] = (p_rows[1:] != p_rows[:-1]) | (aridx[1:] % TILE == 0)
+    brk[1:] = (p_rows[1:] != p_rows[:-1]) | ((aridx[1:] & np.int32(1023)) == 0)
     starts = np.nonzero(brk)[0]
     ends = np.concatenate([starts[1:], [N]]) - 1
     run_rows = p_rows[starts]
@@ -910,7 +933,9 @@ def _build_routed_plan(
 
     def _cls_cost(wv, l1v, lv):
         return (
-            wv * TILE_W_NS + (l1v - 1) * TILE_OV_NS + lv * TILE_BND_NS
+            wv * TILE_W_NS
+            + (l1v - 1) * (TILE_OV_NS + TILE_WL_NS * wv)
+            + lv * TILE_BND_NS
         )
 
     ucls, cls_inv, cls_cnt = np.unique(
@@ -972,9 +997,9 @@ def _build_routed_plan(
     # global slot word: lane | rank<<7 at slot positions (padding slots
     # carry a forward-filled lane and rank 0 — their value is 0); layer
     # 3-4 cell fields ride the free bits 10/19 (disjoint bit planes)
-    p_layer = np.zeros(N, np.int64)
+    p_layer = np.zeros(N, np.int32)
     p_layer[ridx] = layer1
-    g_slot = (src_lane | (p_layer << 7)).astype(np.uint32)
+    g_slot = (src_lane | (p_layer << np.int32(7))).astype(np.uint32)
     # global gsub word at (row, SOURCE-lane) CELL positions: layer-l
     # source (win_local<<3 | sub) at bits 9*l; within a layer, cells are
     # unique-or-equal by the rank construction, so OR-assign is exact
@@ -1449,7 +1474,7 @@ def estimate_banded_routed_ns(
         e = min(
             (estimate_routed_cost_ns(
                 None, None, (nrows, ncols), strip_windows=sw, table=local,
-            ) for sw in (4, 32)),
+            ) for sw in (4, 8, 16, 32)),
             key=lambda d: d["est_ns"],
         )
         est_ns += e["est_ns"] + 2 * LAUNCH_NS
