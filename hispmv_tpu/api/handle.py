@@ -119,6 +119,22 @@ def _run_routed_part(d, x, R, meta, prefix, interp):
         x = jnp.pad(x, (0, need - x.shape[0]))
     x2d = x.reshape(-1, LANES)
     y2d = None
+    if meta.get("gathered") is not None:
+        from hispmv_tpu.ops.spmv_gathered import (
+            gathered_gather_apply, spmv_gathered_tiles_pallas)
+
+        gm = meta["gathered"]
+        xk = x2d[: gm["K"] * 8]
+        xg = gathered_gather_apply(
+            d, gm, prefix + "g_", xk, interpret=interp
+        )
+        yg = spmv_gathered_tiles_pallas(
+            d[prefix + "g_vals"], d[prefix + "g_word"],
+            d[prefix + "g_byt"], xg, gm["num_ytiles"],
+            gm["nch"], gm["tchunk"], interpret=interp,
+        )
+        ypad = nytp * 8 - yg.shape[0]
+        y2d = jnp.pad(yg, ((0, ypad), (0, 0))) if ypad else yg
     for i, seg_metas in enumerate(meta["streams"]):
         for gi, sm in enumerate(seg_metas):
             names = stream_array_names(sm["dims"][4])
@@ -610,7 +626,19 @@ class SpmvHandle:
             "rchunk": None,
             "xperm": None,
             "yperm": None,
+            "gathered": None,
         }
+        if plan.gathered is not None:
+            from hispmv_tpu.ops.spmv_gathered import pack_gathered
+
+            garrays, gmeta = pack_gathered(
+                plan.gathered,
+                tchunk=4 if getattr(self, "interpret", False) else 32,
+            )
+            for n, a in garrays.items():
+                d[prefix + "g_" + n] = jnp.asarray(a)
+            gmeta["num_ytiles"] = plan.gathered.num_ytiles
+            meta["gathered"] = gmeta
         if plan.col_perms is not None:
             meta["xperm"], meta["yperm"] = self._pack_rank_perms(
                 d, plan.col_perms, plan.row_perms, prefix
@@ -1197,9 +1225,11 @@ class SpmvHandle:
             if (
                 rmeta.get("cells") is not None
                 or rmeta.get("xperm") is not None
+                or rmeta.get("gathered") is not None
             ):
-                # banded grids slice x at per-cell offsets and rank-space
-                # plans run per-vector permute kernels: keep the
+                # banded grids slice x at per-cell offsets, rank-space
+                # plans run per-vector permute kernels, and gathered
+                # side-plans run per-vector gather stages: keep the
                 # per-vector loop for these (DNN-layer matrices are
                 # VMEM-feasible and un-ranked in practice)
                 if self._runner is None:

@@ -238,7 +238,26 @@ def _srl(x, n):
     return jax.lax.shift_right_logical(x, n)
 
 
-def _flat_prefix(pall, upper, bd_strict):
+def _flat_prefix_highest(pall, upper, bd_strict):
+    """Flat prefix with Precision.HIGHEST matmuls (6 bf16 passes): used
+    by the GATHERED kernel, whose short scattered rows make the
+    prefix-difference cancellation worst-case — a bf16x3 prefix measured
+    0.026 max-abs there (interpret) vs 8e-6 at HIGHEST."""
+    incl = jax.lax.dot_general(
+        pall, upper, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    rowsum = incl[:, 127:128]
+    carry = jax.lax.dot_general(
+        bd_strict, rowsum, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return incl + carry
+
+
+def _flat_prefix(pall, upper, bd_strict, hp: bool = False):
     """Inclusive flat prefix over each tile's 1024 slots: lane prefix via
     an upper-triangular matmul in a 3-term bf16 split (the 0/1 mask is
     exact in bf16; three DEFAULT MXU passes reproduce f32 products to
@@ -255,6 +274,13 @@ def _flat_prefix(pall, upper, bd_strict):
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     ub = upper.astype(jnp.bfloat16)
+
+    if hp:
+        # interpret mode: the CPU emulation of bf16 matmuls accumulates
+        # far more sloppily than the MXU (measured 0.026 max-abs vs
+        # 5.7e-4 on chip for the same scattered matrix) — tests are
+        # correctness checks, so they run at HIGHEST
+        return _flat_prefix_highest(pall, upper, bd_strict)
 
     def mm(a):
         return jax.lax.dot_general(
@@ -284,6 +310,7 @@ def _routed_kernel(
     W: int,
     l1: int,
     lmax: int,
+    hp: bool = False,
 ):
     if lmax == 1:
         vals_ref, slot_ref, gsub_ref, bm_ref, x_ref, y_ref = refs
@@ -338,7 +365,7 @@ def _routed_kernel(
     )  # (M, 128)
 
     # ---- phase B: batched per-tile flat prefix (see _flat_prefix) ------
-    pf_all = _flat_prefix(pall, upper, bd_strict)
+    pf_all = _flat_prefix(pall, upper, bd_strict, hp=hp)
 
     # ---- phase C: segmented subtract + single-side boundary extraction --
     # ALL lmax layers run unconditionally: layers beyond a tile's actual
@@ -421,6 +448,7 @@ def spmv_routed_stream_pallas(
     )
     kernel = functools.partial(
         _routed_kernel, tchunk=tchunk, W=W, l1=l1, lmax=lmax,
+        hp=interpret,
     )
     nbytes = sum(int(a.size) for a in data) * 4
     return pl.pallas_call(
@@ -450,6 +478,7 @@ def _routed_kernel_batched(
     B: int,
     nwinp: int,
     nytp: int,
+    hp: bool = False,
 ):
     """Panel-batched variant of ``_routed_kernel``: the stream chunk is
     DMA'd ONCE and executed against B x vectors living at static offsets
@@ -507,7 +536,7 @@ def _routed_kernel_batched(
         pall = jnp.concatenate(
             [products(j, b) for j in range(tchunk)], axis=0
         )
-        pf_all = _flat_prefix(pall, upper, bd_strict)
+        pf_all = _flat_prefix(pall, upper, bd_strict, hp=hp)
         for j in range(tchunk):
             pf = pf_all[j * 8 : (j + 1) * 8, :]
             for k in range(lmax):
@@ -588,7 +617,7 @@ def spmv_routed_stream_batched_pallas(
     )
     kernel = functools.partial(
         _routed_kernel_batched, tchunk=tchunk, W=W, l1=l1, lmax=lmax,
-        B=B, nwinp=nwinp, nytp=num_ytiles,
+        B=B, nwinp=nwinp, nytp=num_ytiles, hp=interpret,
     )
     nbytes = sum(int(a.size) for a in data) * 4
     return pl.pallas_call(

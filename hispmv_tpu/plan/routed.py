@@ -164,6 +164,9 @@ class RoutedPlan:
     # y_rank[base+k]).  None = original space.
     col_perms: Optional[list] = None
     row_perms: Optional[list] = None
+    # gathered side-plan (plan/gathered.py): scattered short-row tiles
+    # diverted out of the boundary-layer machinery entirely
+    gathered: Optional[object] = None
 
     MAX_STREAMS = 6
 
@@ -506,6 +509,13 @@ def plan_cost_ns(plan: RoutedPlan) -> float:
             + TILE_BND_NS * s.lmax
         )
     t += RESIDUAL_NS * len(plan.residual_vals)
+    if plan.gathered is not None:
+        from hispmv_tpu.plan.gathered import gathered_cost_ns
+
+        t += gathered_cost_ns(
+            plan.gathered.num_tiles, plan.gathered.num_windows,
+            plan.gathered.num_panels,
+        )
     return t
 
 
@@ -581,8 +591,12 @@ def _repack_residual_once(
     # widest sensible strips for the leftover (it is scattered by
     # construction), unless the caller pinned a width
     rplan = _build_routed_plan(
-        rcoo, max(strip_windows, 32), l1_cap, l_cap, max_streams=free
+        rcoo, max(strip_windows, 32), l1_cap, l_cap, max_streams=free,
+        allow_gathered=plan.gathered is None,
     )
+    if rplan.gathered is not None and plan.gathered is None:
+        plan = dataclasses.replace(plan, gathered=rplan.gathered)
+        rplan = dataclasses.replace(rplan, gathered=None)
     if not rplan.streams:
         return plan
     gain = RESIDUAL_NS * (nres - len(rplan.residual_vals))
@@ -601,6 +615,29 @@ def _repack_residual_once(
         residual_vals=rplan.residual_vals,
         **fields,
     )
+
+
+def _bucket_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
+def _finish_gathered(gath_parts, shape, nwinp, res_parts):
+    """Build the gathered side-plan from diverted chunks; its spills are
+    appended to ``res_parts`` (in place).  Returns the plan or None."""
+    if not gath_parts:
+        return None
+    from hispmv_tpu.plan.gathered import build_gathered_plan
+
+    gr = np.concatenate([p[0] for p in gath_parts])
+    gc = np.concatenate([p[1] for p in gath_parts])
+    gv = np.concatenate([p[2] for p in gath_parts])
+    plan, sr, sc, sv = build_gathered_plan(gr, gc, gv, shape, nwinp)
+    if len(sr):
+        res_parts.append((sr, sc, sv))
+    return plan
 
 
 def _plan_tick(label: str, state: list) -> None:
@@ -627,6 +664,7 @@ def _build_routed_plan(
     l_cap: int = L_CAP,
     max_streams: int = 6,
     w_cap: int = W_CAP,
+    allow_gathered: bool = True,
 ) -> RoutedPlan:
     l1_cap = min(l1_cap, L1_CAP)  # the rank field is 3 bits
     _tk: list = []
@@ -756,11 +794,35 @@ def _build_routed_plan(
         T0, tile_of, p_win, p_band, real
     )
     _plan_tick("tile_stats", _tk)
+    # Pre-demote boundary-layer estimate from RUN-level conflicts: the
+    # band count alone understates lmax badly on scattered tiles (the
+    # conflict ranks + chain stacking dominate there), which is exactly
+    # the class the gathered diversion below exists for.  All ops here
+    # are runs-sized (~rows), not nnz-sized.
+    brk0 = np.ones(N, bool)
+    brk0[1:] = (p_rows[1:] != p_rows[:-1]) | (
+        (aridx[1:] & np.int32(1023)) == 0)
+    st0 = np.nonzero(brk0)[0]
+    en0 = np.concatenate([st0[1:], [N]]) - 1
+    rr0 = p_rows[st0]
+    et0 = (st0 >> 10).astype(np.int64)
+    eb0 = (rr0 >> 10).astype(np.int64)
+    sy0 = ((rr0 & 1023) >> 7).astype(np.int64)
+    al0 = (en0 & 1023) % 128
+    ra0 = _distinct_rank(
+        ((et0 * nyt + eb0) * 8 + sy0) * 128 + al0, (en0 & 1023) // 128
+    )
+    tb0 = et0 * np.int64(nyt) + eb0
+    ukb0, invb0 = np.unique(tb0, return_inverse=True)
+    need0 = np.zeros(len(ukb0), np.int64)
+    np.maximum.at(need0, invb0, ra0 + 1)
+    L_pre = np.zeros(T0, np.int64)
+    np.add.at(L_pre, (ukb0 // nyt).astype(np.int64), need0)
     cost_t = (
         TILE_BASE_NS
         + TILE_W_NS * np.maximum(span_t - 1, 0)
         + TILE_WL_NS * span_t
-        + TILE_BND_NS * np.maximum(band_t, 1)
+        + TILE_BND_NS * np.maximum(np.maximum(band_t, L_pre), 1)
     )
     demote = (
         (cost_t > RESIDUAL_NS * nnz_t)
@@ -769,8 +831,61 @@ def _build_routed_plan(
     )
 
     res_parts = []  # (rows, cols, vals) chunks headed for the residual
+    gath_parts = []  # chunks headed for the gathered side-plan
+    if allow_gathered:
+        # Divert tiles whose modeled cost exceeds the gathered
+        # executor's per-nnz cost with margin (plan/gathered.py): the
+        # gathered path removes span/l1/boundary terms entirely for
+        # scattered short rows (its own spill rules return what it
+        # cannot take).
+        from hispmv_tpu.plan.gathered import (
+            GATH_STAGE_NS, GATH_TILE_NS)
+
+        gath_per_nnz = (GATH_TILE_NS + 3 * GATH_STAGE_NS) / 1000.0
+        # what the tile will ACTUALLY be charged: its class buckets lmax
+        # to a power of two and the merge charges group maxima, and the
+        # kernel runs ~l1 extra pass-1 layers — cost_t (used for the
+        # demote-to-residual rule) reflects none of that
+        Lb = np.maximum(np.maximum(band_t, L_pre), 1)
+        Lb2 = np.int64(1) << np.int64(
+            np.ceil(np.log2(np.maximum(Lb, 1))))
+        cost_cls = (
+            TILE_BASE_NS
+            + TILE_W_NS * np.maximum(span_t - 1, 0)
+            + (TILE_OV_NS + TILE_WL_NS * span_t) * 2.0
+            + TILE_BND_NS * Lb2
+        )
+        to_gather = (
+            ~demote
+            & (cost_cls > 1.25 * gath_per_nnz * np.maximum(nnz_t, 1))
+        )
+        import os as _os
+        if _os.environ.get("HISPMV_PLAN_DEBUG"):
+            import sys as _sys
+            print(
+                f"    gather gate: tiles={T0} "
+                f"cost_t p50={np.percentile(cost_t, 50):.0f} "
+                f"p90={np.percentile(cost_t, 90):.0f} "
+                f"max={cost_t.max():.0f} "
+                f"cand={int(to_gather.sum())} "
+                f"save={1e-3 * (cost_cls[to_gather].sum() - gath_per_nnz * nnz_t[to_gather].sum()):.1f}us",
+                file=_sys.stderr, flush=True,
+            )
+        # only worth its 4 launches when enough work moves
+        if (cost_cls[to_gather].sum()
+                - gath_per_nnz * nnz_t[to_gather].sum()) < 30e3:
+            to_gather[:] = False
+        if to_gather.any():
+            m = to_gather[tile_of] & real & (p_vals != 0.0)
+            gath_parts.append((p_rows[m], p_cols[m], p_vals[m]))
+            demote = demote | to_gather
     if demote.any():
         m = demote[tile_of] & real
+        if gath_parts:
+            # gathered tiles are not residual: re-mask to the demoted-
+            # only tiles for the residual chunk
+            only_res = demote & ~to_gather if allow_gathered else demote
+            m = only_res[tile_of] & real
         res_parts.append((p_rows[m], p_cols[m], p_vals[m]))
         keep_slots = ~demote[tile_of]
         p_rows, p_cols, p_vals = (
@@ -789,6 +904,9 @@ def _build_routed_plan(
         )
 
     if T0 == 0:
+        gathered = _finish_gathered(
+            gath_parts, (R, C), _bucket_pow2(nwin), res_parts
+        )
         rr, rc, rv = (
             np.concatenate([p[0] for p in res_parts])
             if res_parts else np.zeros(0, np.int64),
@@ -801,6 +919,7 @@ def _build_routed_plan(
             shape=(R, C), nnz=coo.nnz, num_windows=nwin, num_ytiles=nyt,
             s0=None, s1=None, s2=None,
             residual_rows=rr, residual_cols=rc, residual_vals=rv,
+            gathered=gathered,
         )
 
     # ---- pass-1 slab layering: per-cell distinct-source ranks -----------
@@ -1132,6 +1251,7 @@ def _build_routed_plan(
     # groups were emitted cheapest-class-first; the merge loop guarantees
     # len(streams) <= max_streams <= MAX_STREAMS
     assert len(streams) <= RoutedPlan.MAX_STREAMS
+    gathered = _finish_gathered(gath_parts, (R, C), nwinp, res_parts)
     if res_parts:
         rr = np.concatenate([p[0] for p in res_parts])
         rc = np.concatenate([p[1] for p in res_parts])
@@ -1144,6 +1264,7 @@ def _build_routed_plan(
     return RoutedPlan(
         shape=(R, C), nnz=coo.nnz, num_windows=nwin, num_ytiles=nyt,
         residual_rows=rr, residual_cols=rc, residual_vals=rv,
+        gathered=gathered,
         **{
             f"s{i}": (streams[i] if i < len(streams) else None)
             for i in range(RoutedPlan.MAX_STREAMS)
@@ -1273,6 +1394,11 @@ def routed_matvec_numpy(plan: RoutedPlan, x: np.ndarray) -> np.ndarray:
     y = np.zeros(plan.num_ytiles * WINDOW, np.float64)
     for s in plan.streams:
         _stream_matvec_numpy(s, x2d, y)
+    if plan.gathered is not None:
+        from hispmv_tpu.plan.gathered import gathered_matvec_numpy
+
+        yg = gathered_matvec_numpy(plan.gathered, xp.astype(np.float32))
+        y[: len(yg)] += yg
     if len(plan.residual_vals):
         np.add.at(
             y, plan.residual_rows,

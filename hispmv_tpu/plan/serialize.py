@@ -30,6 +30,7 @@ from hispmv_tpu.plan.routed import (
     RoutedPlan,
     RoutedStream,
 )
+from hispmv_tpu.plan.gathered import GatheredPlan
 from hispmv_tpu.plan.split import SplitPlan
 from hispmv_tpu.plan.windows import WindowPlan
 
@@ -43,6 +44,7 @@ _PLAN_TYPES = {
     "routedstream": RoutedStream,
     "bandedrouted": BandedRoutedPlan,
     "routedcell": RoutedCell,
+    "gathered": GatheredPlan,
 }
 _SEP = ".."
 
