@@ -106,7 +106,9 @@ def _code_tag() -> str:
     root = os.path.dirname(os.path.abspath(__file__))
     for rel in (
         "hispmv_tpu/plan/routed.py",
+        "hispmv_tpu/plan/gathered.py",
         "hispmv_tpu/ops/spmv_routed.py",
+        "hispmv_tpu/ops/spmv_gathered.py",
         "hispmv_tpu/ops/spmv_chunked.py",
         "hispmv_tpu/ops/spmv_ellx.py",
         "hispmv_tpu/ops/spmv_windowed.py",

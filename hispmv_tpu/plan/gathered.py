@@ -61,11 +61,13 @@ ROW_CAP = 512  # rows longer than this stay in the routed classes
 S1_CAP = 4  # S1 conflict layers (4 x 3-bit sub fields in the word)
 FANOUT_CAP = 1016  # per-(panel, x-window) edge cap (slack under 1024)
 
-# measured-constant placeholders (calibrated on chip; see
-# benchmarks/microbench_gathered.py)
-GATH_TILE_NS = 40.0  # kernel per tile (products+prefix+2xClos+RMW)
-GATH_STAGE_NS = 22.0  # per gather-stage window incl. transpose share
-GATH_LAUNCH_NS = 4 * 3000.0  # 3 stage launches + tile kernel
+# measured on chip 2026-08-20 (benchmarks/microbench_gathered.py,
+# loop-slope over K in {64, 256, 512}): tile kernel 44 ns/tile flat;
+# gather 19-21 ns per stage window (2*P*K + T windows incl. the
+# transpose share); ~23 us fixed (5+ launches + XLA glue)
+GATH_TILE_NS = 44.0  # kernel per tile (products+prefix+2xClos+RMW)
+GATH_STAGE_NS = 20.0  # per gather-stage window incl. transpose share
+GATH_LAUNCH_NS = 23e3  # launches + XLA glue (measured intercept)
 
 
 def _distinct_rank_local(group: np.ndarray, val: np.ndarray) -> np.ndarray:

@@ -86,7 +86,8 @@ def _kernel_gen() -> str:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for rel in (
         "plan/routed.py", "plan/blocks.py", "plan/windows.py",
-        "plan/split.py", "ops/spmv_routed.py", "ops/spmv_chunked.py",
+        "plan/split.py", "plan/gathered.py", "ops/spmv_routed.py",
+        "ops/spmv_gathered.py", "ops/spmv_chunked.py",
         "ops/spmv_ellx.py", "ops/spmv_windowed.py", "tune/cost.py",
     ):
         with open(os.path.join(root, rel), "rb") as f:
