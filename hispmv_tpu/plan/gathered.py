@@ -183,7 +183,10 @@ def build_gathered_plan(
     R, C = shape
     K = int(num_windows)
     n = len(rows)
-    if n == 0 or K < 1:
+    # K > WINDOW (matrices wider than 2^20 cols): the grouped-S2 stage
+    # needs g = WINDOW // K >= 1 grouped color-rows per window; spill
+    # everything back to the caller instead of building a degenerate plan
+    if n == 0 or K < 1 or K > WINDOW:
         return None, rows, cols, vals
 
     rows = rows.astype(np.int64, copy=False)

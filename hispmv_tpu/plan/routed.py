@@ -200,7 +200,12 @@ class RoutedPlan:
 
     @property
     def fill(self) -> float:
+        # overall slot occupancy across BOTH executors: gathered-diverted
+        # nnz sit in gathered tiles, so those tiles count in the
+        # denominator too (fill is always in (0, 1])
         slots = self.num_tiles * TILE
+        if self.gathered is not None:
+            slots += self.gathered.num_tiles * TILE
         return (self.nnz - len(self.residual_vals)) / max(slots, 1)
 
 
@@ -594,11 +599,14 @@ def _repack_residual_once(
         rcoo, max(strip_windows, 32), l1_cap, l_cap, max_streams=free,
         allow_gathered=plan.gathered is None,
     )
-    if rplan.gathered is not None and plan.gathered is None:
-        plan = dataclasses.replace(plan, gathered=rplan.gathered)
-        rplan = dataclasses.replace(rplan, gathered=None)
-    if not rplan.streams:
+    if not rplan.streams and rplan.gathered is None:
         return plan
+    # Accept-or-reject the repack as a WHOLE (streams + gathered side-plan
+    # + residual).  rplan's gathered plan is adopted only on accept — a
+    # graft on the reject path would leave the diverted nnz both in the
+    # side-plan and in plan.residual_* (executed twice).  plan_cost_ns
+    # includes the gathered side-plan's modeled cost, so diverted nnz are
+    # charged what they cost rather than counted as pure residual savings.
     gain = RESIDUAL_NS * (nres - len(rplan.residual_vals))
     cost = plan_cost_ns(rplan) - RESIDUAL_NS * len(rplan.residual_vals)
     if cost >= gain:
@@ -613,6 +621,8 @@ def _repack_residual_once(
         residual_rows=rplan.residual_rows,
         residual_cols=rplan.residual_cols,
         residual_vals=rplan.residual_vals,
+        gathered=rplan.gathered if rplan.gathered is not None
+        else plan.gathered,
         **fields,
     )
 

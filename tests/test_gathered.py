@@ -203,3 +203,19 @@ def test_handle_end_to_end_gathered(monkeypatch):
     y = np.asarray(h.run(x))[:R]
     gold = coo.matvec(x.astype(np.float64))
     assert np.abs(y - gold).max() < 2e-4
+
+
+def test_wide_matrix_guard_spills_everything():
+    """num_windows > 1024 (cols > 2^20): the grouped-S2 stage cannot form
+    (WINDOW // K == 0); the builder must spill all entries back to the
+    caller instead of dividing by zero (round-4 advisor finding)."""
+    rng = np.random.default_rng(3)
+    rows = rng.integers(0, 4096, 5000).astype(np.int64)
+    cols = rng.integers(0, 4096, 5000).astype(np.int64)
+    vals = rng.standard_normal(5000).astype(np.float32)
+    plan, sr, sc, sv = build_gathered_plan(
+        rows, cols, vals, (4096, 2 ** 21), 2048
+    )
+    assert plan is None
+    assert len(sr) == 5000
+    np.testing.assert_array_equal(np.sort(sr), np.sort(rows))

@@ -439,3 +439,64 @@ def test_routed_batched_linear_with_residual(R, C, nnz):
     np.testing.assert_allclose(
         got, want.astype(np.float32), rtol=1e-3, atol=1e-3
     )
+
+
+def test_repack_adopts_gathered_atomically():
+    """A repack whose rplan is gathered-only (no streams) must adopt the
+    side-plan TOGETHER with rplan's residual — grafting it while keeping
+    the old residual executed the diverted nnz twice (round-4 advisor
+    finding, plan/routed.py::_repack_residual_once)."""
+    from hispmv_tpu.formats.matrix import COOMatrix
+    from hispmv_tpu.plan.routed import (
+        L1_CAP,
+        L_CAP,
+        WINDOW,
+        RoutedPlan,
+        _repack_residual_once,
+    )
+
+    rng = np.random.default_rng(7)
+    R = C = 1 << 20  # 1024 x windows: the gathered class's home turf
+    n = 100_000
+    rows = rng.integers(0, R, n)
+    cols = rng.integers(0, C, n)
+    k = np.unique(rows.astype(np.int64) * C + cols)
+    rows, cols = (k // C).astype(np.int64), (k % C).astype(np.int64)
+    vals = rng.standard_normal(len(rows)).astype(np.float32)
+    nwin, nyt = -(-C // WINDOW), -(-R // WINDOW)
+    plan = RoutedPlan(
+        shape=(R, C), nnz=len(rows), num_windows=nwin, num_ytiles=nyt,
+        s0=None, s1=None, s2=None,
+        residual_rows=rows, residual_cols=cols, residual_vals=vals,
+    )
+    p2 = _repack_residual_once(plan, 32, L1_CAP, L_CAP)
+    if p2.gathered is not None:
+        # diverted nnz must have left the residual
+        assert len(p2.residual_vals) < 0.05 * n
+        assert 0.0 < p2.fill <= 1.0  # gathered tiles count in the fill
+    x = rng.standard_normal(C).astype(np.float32)
+    y = routed_matvec_numpy(p2, x)
+    gold = np.zeros(R)
+    np.add.at(gold, rows, vals.astype(np.float64) * x[cols])
+    assert np.abs(y - gold).max() / np.abs(gold).max() < 1e-4
+
+
+def test_flat_prefix_bf16x3_matches_f64():
+    """The bf16 3-term split prefix (the path that runs ON HARDWARE,
+    hp=False) must reproduce the f64 prefix to f32-class accuracy on
+    scattered-magnitude products; a 2-term split leaves ~2e-5 of the
+    scale (the documented 7.7e-3 max-rel failure mode after
+    cancellation) and fails this bound by 10x."""
+    import jax
+    import jax.numpy as jnp
+
+    from hispmv_tpu.ops.spmv_routed import _flat_prefix
+
+    rng = np.random.default_rng(0)
+    mags = 10.0 ** rng.uniform(-3, 3, (8, 128))
+    p = (rng.standard_normal((8, 128)) * mags).astype(np.float32)
+    upper = jnp.triu(jnp.ones((128, 128), jnp.float32))
+    bd = jnp.tril(jnp.ones((8, 8), jnp.float32), -1)
+    pf3 = np.asarray(_flat_prefix(jnp.asarray(p), upper, bd, hp=False))
+    pf64 = np.cumsum(p.astype(np.float64).reshape(-1)).reshape(8, 128)
+    assert np.abs(pf3 - pf64).max() / np.abs(p).max() < 2e-6
