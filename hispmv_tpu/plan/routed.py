@@ -869,6 +869,37 @@ def _build_routed_plan(
             ~demote
             & (cost_cls > 1.25 * gath_per_nnz * np.maximum(nnz_t, 1))
         )
+        # Honest acceptance: the gathered executor's S1/S2 stages walk
+        # ALL of each panel's K x-windows, and panels are cut as soon as
+        # any window's cumulative fan-out hits FANOUT_CAP — so window
+        # CONCENTRATION in the diverted set drives the panel count P,
+        # and the true stage cost is (2*P*K + T) windows, not 3/tile.
+        # (Round 4 shipped the 3/tile assumption; measured end-to-end it
+        # LOST on its target matrix — language 9.0 -> 7.2 GFLOP/s —
+        # because hub windows forced ~5-tile panels.)  Estimate P from
+        # the candidates' per-window edge histogram and accept the
+        # diversion only if the honest model still saves.
+        gross = float(cost_cls[to_gather].sum())
+        if to_gather.any():
+            from hispmv_tpu.plan.gathered import (
+                FANOUT_CAP, gathered_cost_ns)
+
+            Kp = _bucket_pow2(nwin)
+            mg = to_gather[tile_of] & real & (p_vals != 0.0)
+            ng = int(mg.sum())
+            tg = max(ng // int(TILE * 0.9), 1)
+            e_w = np.bincount(p_win[mg], minlength=1)
+            e_max_per_tile = float(e_w.max()) / tg
+            pw_est = max(1.0, min(
+                float(Kp), FANOUT_CAP / max(e_max_per_tile, 1.0)))
+            p_est = int(np.ceil(tg / pw_est))
+            # gcost already includes the measured launch+glue intercept
+            # (GATH_LAUNCH_NS); the margin only guards model noise
+            gcost = gathered_cost_ns(tg, Kp, p_est)
+            if gross - gcost < 10e3:
+                to_gather[:] = False
+        else:
+            gcost = 0.0
         import os as _os
         if _os.environ.get("HISPMV_PLAN_DEBUG"):
             import sys as _sys
@@ -878,13 +909,10 @@ def _build_routed_plan(
                 f"p90={np.percentile(cost_t, 90):.0f} "
                 f"max={cost_t.max():.0f} "
                 f"cand={int(to_gather.sum())} "
-                f"save={1e-3 * (cost_cls[to_gather].sum() - gath_per_nnz * nnz_t[to_gather].sum()):.1f}us",
+                f"gross={1e-3 * gross:.1f}us "
+                f"gcost={1e-3 * gcost:.1f}us",
                 file=_sys.stderr, flush=True,
             )
-        # only worth its 4 launches when enough work moves
-        if (cost_cls[to_gather].sum()
-                - gath_per_nnz * nnz_t[to_gather].sum()) < 30e3:
-            to_gather[:] = False
         if to_gather.any():
             m = to_gather[tile_of] & real & (p_vals != 0.0)
             gath_parts.append((p_rows[m], p_cols[m], p_vals[m]))
