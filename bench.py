@@ -97,28 +97,26 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _code_tag() -> str:
-    """8-hex tag of the plan/kernel sources that define stream layouts;
-    keys the plan and serialized-executable caches."""
-    import hashlib
+def _best_prior() -> dict:
+    """Best prior per-matrix GFLOP/s across committed BENCH_r*.json files
+    (the regression guard's comparison base)."""
+    import glob
 
-    h = hashlib.sha1()
+    best = {}
     root = os.path.dirname(os.path.abspath(__file__))
-    for rel in (
-        "hispmv_tpu/plan/routed.py",
-        "hispmv_tpu/plan/gathered.py",
-        "hispmv_tpu/ops/spmv_routed.py",
-        "hispmv_tpu/ops/spmv_gathered.py",
-        "hispmv_tpu/ops/spmv_chunked.py",
-        "hispmv_tpu/ops/spmv_ellx.py",
-        "hispmv_tpu/ops/spmv_windowed.py",
-        "hispmv_tpu/ops/spmv_block.py",
-        "hispmv_tpu/ops/permute.py",
-        "hispmv_tpu/api/handle.py",
-    ):
-        with open(os.path.join(root, rel), "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()[:8]
+    for path in sorted(glob.glob(os.path.join(root, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            per = (data.get("parsed") or {}).get("per_matrix") \
+                or data.get("per_matrix") or {}
+            for name, pair in per.items():
+                ours = pair[0] if isinstance(pair, (list, tuple)) else pair
+                if ours and ours > best.get(name, 0.0):
+                    best[name] = float(ours)
+        except Exception:
+            continue
+    return best
 
 
 def bench_matrix(name: str, scale: float) -> dict:
@@ -155,16 +153,22 @@ def bench_matrix(name: str, scale: float) -> dict:
 
     from hispmv_tpu.tune.dse import matrix_fingerprint
 
+    from hispmv_tpu.tune.dse import family_gen
+
     rs_tag = "-rs" if getattr(res.config, "rank_sort", False) else ""
-    # Cache tag derived from the planner+kernel SOURCE hash: any change to
-    # the stream layout or kernel code automatically invalidates both the
-    # plan cache and the serialized-executable cache (a hand-bumped
-    # version string silently resurrected stale kernels once).
+    cr_tag = "-cr" if getattr(res.config, "col_reorder", False) else ""
+    # Cache tag derived from the chosen FORMAT FAMILY's source hash
+    # (tune/dse.py::family_gen): a change to the stream layout or kernel
+    # code of that family automatically invalidates both the plan cache
+    # and the serialized-executable cache, while edits to OTHER formats
+    # leave this matrix's caches warm (the round-4 global hash colded
+    # all 20 matrices at once and the benchmark stopped completing).
     # matrix CONTENT fingerprint in the cache name: a regenerated
     # fixture can never resurrect a plan built for different coordinates
     cfg_tag0 = (
-        f"{_code_tag()}-m{matrix_fingerprint(coo)[:10]}-{res.format}"
-        f"-bh{res.config.block_h}-{res.config.value_dtype}{rs_tag}"
+        f"{family_gen(res.format)}-m{matrix_fingerprint(coo)[:10]}"
+        f"-{res.format}-bh{res.config.block_h}"
+        f"-{res.config.value_dtype}{rs_tag}{cr_tag}"
     )
     os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
     plan_cache = f"/tmp/hispmv_plan_cache/{name}-{scale}-{cfg_tag0}.npz"
@@ -280,6 +284,22 @@ def emit(results, cases=None):
         f"geomean={geo:.1f} GFLOP/s vs_baseline={vs:.2f}x verified={ok} "
         f"coverage={len(results)}/{n_total}"
     )
+    # Regression guard: compare per-matrix against the best committed
+    # BENCH_r*.json and flag >10% losses loudly (round 4 shipped
+    # language 9.0 -> 7.2 and hangGlider 17.4 -> 15.1 silently).
+    prior = _best_prior()
+    regressions = [
+        (r["name"], r["gflops"], prior[r["name"]])
+        for r in results
+        if r["name"] in prior and r["gflops"] < 0.9 * prior[r["name"]]
+    ]
+    for name, now, was in regressions:
+        log(
+            f"REGRESSION [{name}]: {now:.1f} GFLOP/s vs best prior "
+            f"{was:.1f} ({now / was:.2f}x)"
+        )
+    if not regressions and prior:
+        log("regression guard: no matrix >10% below its best prior round")
     payload = {
         "metric": "spmv_gflops_geomean_suite",
         "value": round(geo, 2),

@@ -72,30 +72,57 @@ class TuneResult:
         )
 
 
-# Kernel/planner generation: bump when a format's execution capability
-# changes (new kernel codegen, layer caps, ...) so cached MEASURED winners
-# from the previous generation are re-evaluated.  The cost-model constants
-# are hashed separately (profile hash in tune()).
-def _kernel_gen() -> str:
-    """Cache-key tag derived from the planner/kernel/cost sources: any
-    change to the formats or the cost model invalidates cached tuning
-    results automatically (a hand-bumped integer once went stale)."""
-    import hashlib
+# Kernel/planner generation, PER FORMAT FAMILY: hashes only the sources a
+# format's plan + kernel actually use (plus the shared runner/pack layer),
+# so an edit to one format's kernel no longer invalidates every other
+# format's cached tuning results, serialized plans, and executables (the
+# round-4 global hash colded all 20 matrices' caches at once and the
+# benchmark stopped completing).  Cost-model constants are hashed
+# separately (profile hash + _model_gen in tune()).
+_FAMILY_SOURCES = {
+    "routed": (
+        "plan/routed.py", "plan/gathered.py", "plan/permute.py",
+        "ops/spmv_routed.py", "ops/spmv_gathered.py", "ops/permute.py",
+    ),
+    "ellx": ("plan/blocks.py", "ops/spmv_ellx.py"),
+    "block": ("plan/blocks.py", "ops/spmv_block.py"),
+    "window": ("plan/windows.py", "ops/spmv_windowed.py"),
+    # split's body="auto" may embed an ELLX or routed body
+    "split": (
+        "plan/split.py", "plan/blocks.py", "ops/spmv_ellx.py",
+        "plan/routed.py", "plan/permute.py", "ops/spmv_routed.py",
+        "ops/permute.py",
+    ),
+    "stream": ("plan/partition.py", "ops/spmv_chunked.py"),
+    "dense": ("ops/gemv.py",),
+}
+# the runner/pack layer is shared by every family
+_COMMON_SOURCES = ("api/handle.py",)
 
+
+def _hash_sources(rels) -> str:
     h = hashlib.sha1()
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    for rel in (
-        "plan/routed.py", "plan/blocks.py", "plan/windows.py",
-        "plan/split.py", "plan/gathered.py", "ops/spmv_routed.py",
-        "ops/spmv_gathered.py", "ops/spmv_chunked.py",
-        "ops/spmv_ellx.py", "ops/spmv_windowed.py", "tune/cost.py",
-    ):
+    for rel in rels:
         with open(os.path.join(root, rel), "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:8]
 
 
-KERNEL_GEN = None  # resolved lazily by _kernel_gen()
+def family_gen(fmt: str) -> str:
+    """8-hex generation tag for one format family: keys the tune /
+    serialized-plan / executable caches for artifacts of that format."""
+    rels = _FAMILY_SOURCES.get(fmt)
+    if rels is None:  # unknown family: be conservative, hash everything
+        rels = tuple(
+            r for fam in sorted(_FAMILY_SOURCES) for r in _FAMILY_SOURCES[fam]
+        )
+    return _hash_sources(tuple(dict.fromkeys(rels + _COMMON_SOURCES)))
+
+
+def _model_gen() -> str:
+    """Generation of the model-only DSE itself (estimators + constants)."""
+    return _hash_sources(("tune/cost.py", "tune/dse.py"))
 
 
 def matrix_fingerprint(coo: COOMatrix) -> str:
@@ -559,11 +586,19 @@ def measure_candidates(
             return "routed-rank" if lbl == "routed-rank" \
                 else _label_format(lbl)
 
+        # Family threshold 2.5x (the model's observed cross-family error
+        # band) and a hard shortlist cap of 4: each extra candidate costs
+        # a full plan build + kernel compile (~30-90 s through the remote
+        # compile service), and round 4's 4x/uncapped shortlist ran the
+        # per-matrix tune cost to ~120 s — a direct cause of the 9/20
+        # benchmark truncation.
         best_est = shortlist[0][1]
         fams = {_fam(lbl) for lbl, _ in shortlist}
         for label, est in result.candidates[max(top, 1):]:
+            if len(shortlist) >= 4:
+                break
             fam = _fam(label)
-            if fam not in fams and est <= 4.0 * best_est:
+            if fam not in fams and est <= 2.5 * best_est:
                 fams.add(fam)
                 shortlist.append((label, est))
     measured = []
@@ -640,25 +675,31 @@ def tune(
     key = None
     if cache_path:
         # Key on the profile *values*, not just its name, so recalibrated
-        # constants invalidate stale entries.
+        # constants invalidate stale entries.  Generations are validated
+        # per entry (winner's format family + model gen) rather than baked
+        # into the key, so an edit to one format's sources only re-tunes
+        # matrices whose cached WINNER is that format.
         import hashlib as _h
 
         pfp = _h.sha256(
             repr(dataclasses.astuple(profile)).encode()
         ).hexdigest()[:8]
-        key = (
-            f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}"
-            f":g{_kernel_gen()}"
-        )
+        key = f"{matrix_fingerprint(coo)}:{profile.name}:{pfp}"
         if os.path.exists(cache_path):
             with open(cache_path) as f:
                 cache = json.load(f)
-            if key in cache:
-                cached = TuneResult.from_json(cache[key])
-                # measured entries serve everyone; model-only entries are
-                # re-run when the caller asks for measurement
-                if cached.measured or measure <= 1:
-                    return cached
+            entry = cache.get(key)
+            if entry is not None:
+                fresh = (
+                    entry.get("gen") == family_gen(entry.get("format", ""))
+                    and entry.get("mgen") == _model_gen()
+                )
+                if fresh:
+                    cached = TuneResult.from_json(entry)
+                    # measured entries serve everyone; model-only entries
+                    # are re-run when the caller asks for measurement
+                    if cached.measured or measure <= 1:
+                        return cached
     result = DSE(profile).explore(coo)
     if measure > 1:
         result = measure_candidates(coo, result, top=measure)
@@ -667,7 +708,10 @@ def tune(
         if os.path.exists(cache_path):
             with open(cache_path) as f:
                 cache = json.load(f)
-        cache[key] = result.to_json()
+        entry = result.to_json()
+        entry["gen"] = family_gen(result.format)
+        entry["mgen"] = _model_gen()
+        cache[key] = entry
         tmp = cache_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(cache, f, indent=1)
