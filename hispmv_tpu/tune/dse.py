@@ -553,8 +553,30 @@ class DSE:
         )
 
 
+def _measured_cache_load(path: str) -> dict:
+    if path and os.path.exists(path):
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except Exception:
+            return {}
+    return {}
+
+
+def _measured_cache_put(path: str, key: str, entry: dict) -> None:
+    if not path:
+        return
+    cache = _measured_cache_load(path)
+    cache[key] = entry
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(cache, f, indent=1)
+    os.replace(tmp, path)
+
+
 def measure_candidates(
-    coo: COOMatrix, result: TuneResult, top: int = 2
+    coo: COOMatrix, result: TuneResult, top: int = 2,
+    cache_path: Optional[str] = None,
 ) -> TuneResult:
     """Refine the model's choice by timing the top candidates on device.
 
@@ -562,21 +584,46 @@ def measure_candidates(
     ``top`` cheapest candidates is actually prepared and loop-slope timed;
     the measured winner replaces the model's pick.  Costs one kernel
     compile per candidate, so use with the cache for repeated workloads.
+
+    Per-candidate measurements persist write-through to
+    ``cache_path + '.measured'`` as they complete: a tune killed by an
+    outer timeout RESUMES on retry instead of restarting from zero
+    (round-5 failure mode: nxp1's 3-candidate cold measure exceeded its
+    benchmark cap twice, losing all progress both times).
     """
     import jax.numpy as jnp
 
     from hispmv_tpu.api.handle import SpmvHandle
     from hispmv_tpu.utils.timing import bench_spmv
 
-    x0_host = np.linspace(-1.0, 1.0, coo.num_cols).astype(np.float32)
+    mpath = (cache_path + ".measured") if cache_path else None
+    mfp = matrix_fingerprint(coo)
+    mcache = _measured_cache_load(mpath)
+
+    # Same x distribution the benchmark verifies with (standard normal):
+    # a linspace(-1,1) probe puts near-zero x entries mid-vector and made
+    # 352/1.6M soc-Pokec rows marginally miss rtol=1e-3 through fp32
+    # cancellation noise while the bench's gaussian x verified cleanly.
+    x0_host = np.random.default_rng(0).standard_normal(
+        coo.num_cols
+    ).astype(np.float32)
     x0 = jnp.asarray(x0_host)
     golden = coo.matvec(x0_host.astype(np.float64))
     # Top-N by model estimate, PLUS the best candidate of each remaining
-    # format family whose estimate is within 4x of the winner: the model's
-    # ranking between families is only good to ~2x on irregular matrices
-    # (measured: routed beat the model-preferred windowed format on
-    # hangGlider-class), so every close family deserves one measurement.
-    shortlist = list(result.candidates[: max(top, 1)])
+    # format family whose estimate is within 2.5x of the winner: the
+    # model's ranking between families is only good to ~2x on irregular
+    # matrices (measured: routed beat the model-preferred windowed format
+    # on hangGlider-class), so every close family deserves one
+    # measurement.  The shortlist is built from NON-bf16 candidates: a
+    # bf16 variant that occupies its family's slot and then fails the
+    # accuracy guard leaves the family unmeasured entirely (round-5
+    # failure mode: PFlow's win64 — the actual winner at 44.5 GFLOP/s —
+    # went unmeasured behind win128-bf16/win64-bf16 and a 1.9x-slower
+    # ellx was crowned).  At most ONE bf16 candidate is appended as a
+    # bonus measurement when it models faster than everything else.
+    fp32c = [c for c in result.candidates if not c[0].endswith("-bf16")]
+    bf16c = [c for c in result.candidates if c[0].endswith("-bf16")]
+    shortlist = list(fp32c[: max(top, 1)])
     if shortlist:
         # routed vs routed-rank count as distinct families: they share a
         # kernel but run in different index spaces, and which one wins is
@@ -594,13 +641,15 @@ def measure_candidates(
         # benchmark truncation.
         best_est = shortlist[0][1]
         fams = {_fam(lbl) for lbl, _ in shortlist}
-        for label, est in result.candidates[max(top, 1):]:
+        for label, est in fp32c[max(top, 1):]:
             if len(shortlist) >= 4:
                 break
             fam = _fam(label)
             if fam not in fams and est <= 2.5 * best_est:
                 fams.add(fam)
                 shortlist.append((label, est))
+        if bf16c and bf16c[0][1] < best_est:
+            shortlist.append(bf16c[0])
     measured = []
     seen_cfg = set()
     for label, est in shortlist:
@@ -629,26 +678,78 @@ def measure_candidates(
         if key in seen_cfg:
             continue
         seen_cfg.add(key)
+        mkey = f"{mfp}:{label}:{family_gen(fmt)}"
+        hit = mcache.get(mkey)
+        if hit is not None:
+            # failed entries only count as final once SOME candidate of
+            # this matrix succeeded (a transient backend outage must not
+            # permanently blacklist the real winner)
+            if hit.get("t") is not None:
+                measured.append((label, hit["t"], fmt, cfg))
+                continue
+            if any(
+                k.startswith(mfp + ":") and v.get("t") is not None
+                for k, v in mcache.items()
+            ):
+                continue
         try:
             h = SpmvHandle(coo, config=cfg, format=fmt)
             fn, args = h.explicit_runner()
             xp = jnp.asarray(h._pad_x(x0))
             t, y = bench_spmv(fn, xp, kernel_args=args)
             # accuracy guard (matters for bf16 payloads): candidates that
-            # break the rtol=1e-3 acceptance are discarded
+            # break the rtol=1e-3 acceptance are discarded.  f32 formats
+            # get a tiny allowance (1e-4 of rows) for fp32-cancellation
+            # noise on huge rows; bf16 payloads miss on most rows and
+            # stay gated.
             if golden is not None:
                 bad = np.abs(np.asarray(y) - golden) > (
                     1e-4 + 1e-3 * np.abs(golden)
                 )
-                if bad.any():
+                allow = 0 if label.endswith("-bf16") else max(
+                    int(1e-4 * len(golden)), 8
+                )
+                if bad.sum() > allow:
+                    import sys
+
+                    print(
+                        f"tune: candidate {label} failed accuracy "
+                        f"({int(bad.sum())} mismatches), discarded",
+                        file=sys.stderr, flush=True,
+                    )
+                    _measured_cache_put(
+                        mpath, mkey,
+                        {"t": None, "err": f"accuracy:{int(bad.sum())}"},
+                    )
                     continue
             measured.append((label, t, fmt, cfg))
-        except Exception:
+            _measured_cache_put(mpath, mkey, {"t": t})
+        except Exception as e:
+            # A failed build/measure must be VISIBLE: round 5 silently
+            # dropped the model-best banded candidate on soc-Pokec and
+            # crowned a measured 82x-slower fallback.
+            import sys
+            import traceback
+
+            print(
+                f"tune: candidate {label} failed to measure: {e!r}",
+                file=sys.stderr, flush=True,
+            )
+            traceback.print_exc(limit=4)
+            _measured_cache_put(mpath, mkey, {"t": None, "err": repr(e)[:200]})
             continue
     if not measured:
         return result
     measured.sort(key=lambda m: m[1])
     label, secs, fmt, cfg = measured[0]
+    # Sanity floor: if every surviving measured candidate is far slower
+    # than the model's estimate for the (unmeasurable) model-best, trust
+    # the model — its cross-family error band is ~2-4x, so a >4x-worse
+    # measured winner means the real winner's measurement failed, not
+    # that the model was wrong.  Returning measured=False keeps the cache
+    # entry retryable on the next measured tune.
+    if secs > 4.0 * result.est_seconds and result.format != fmt:
+        return result
     flops = 2 * (coo.nnz + coo.shape[0])
     return TuneResult(
         format=fmt,
@@ -702,7 +803,9 @@ def tune(
                         return cached
     result = DSE(profile).explore(coo)
     if measure > 1:
-        result = measure_candidates(coo, result, top=measure)
+        result = measure_candidates(
+            coo, result, top=measure, cache_path=cache_path
+        )
     if cache_path and key:
         cache = {}
         if os.path.exists(cache_path):
