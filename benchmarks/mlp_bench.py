@@ -87,13 +87,17 @@ def bench_sparse_layer(coo, B, seed=0):
     xp = jnp.asarray(np.pad(xb, ((0, 0), (0, h.padded_cols - coo.num_cols))))
     bj = jnp.asarray(bias)
 
+    # args ride in the CARRY (a closed-over plan becomes a lowered-module
+    # constant: 256 MB dense layers 413'd the remote compile service) and
+    # the dep consumes a FULL reduction of y (a y[0] dep lets XLA
+    # slice-of-dot + DCE pure-XLA kernels — see utils/timing.py).
     def step(carry):
-        x, acc = carry
-        yb = runner(args, x, bj)
-        dep = yb.ravel()[:1].astype(x.dtype) * 1e-30
-        return (x + dep, acc + dep[0])
+        a, x, acc = carry
+        yb = runner(a, x, bj)
+        dep = jnp.sum(yb).astype(x.dtype) * 1e-30
+        return (a, x + dep, acc + dep)
 
-    t = time_step(step, (xp, jnp.zeros((), jnp.float32)))
+    t = time_step(step, (args, xp, jnp.zeros((), jnp.float32)))
     return t, h.format, res.config.block_h
 
 
@@ -114,12 +118,12 @@ def bench_dense_layer(R, C, B, dtype, seed=0):
         return y + b
 
     def step(carry):
-        x, acc = carry
-        y = f(W, x, b)
-        dep = y.ravel()[:1].astype(x.dtype) * 1e-30
-        return (x + dep, acc + dep[0])
+        Wc, x, acc = carry
+        y = f(Wc, x, b)
+        dep = jnp.sum(y).astype(x.dtype) * 1e-30
+        return (Wc, x + dep, acc + dep)
 
-    return time_step(step, (xb, jnp.zeros((), jnp.float32)))
+    return time_step(step, (W, xb, jnp.zeros((), jnp.float32)))
 
 
 def main():

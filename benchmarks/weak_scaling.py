@@ -45,6 +45,7 @@ def main():
     ap.add_argument(
         "--x-mode", default="ring", choices=["ring", "replicated"]
     )
+    ap.add_argument("--json", default="", help="write a JSON artifact here")
     args = ap.parse_args()
 
     interpret = jax.default_backend() not in ("tpu", "axon")
@@ -54,6 +55,7 @@ def main():
         f"timing={'hardware' if on_hw else 'NOT-hardware (virtual mesh)'}"
     )
 
+    rows_out = []
     base_t = None
     for d in args.devices:
         if d > len(jax.devices()):
@@ -78,8 +80,10 @@ def main():
         def step(carry, kernel=kernel):
             xx, acc = carry
             yy = kernel(xx)
-            dep = yy.ravel()[:1].astype(xx.dtype) * 1e-30
-            return (xx + dep, acc + dep[0])
+            # full-sum dep: interpret-mode pallas is JAX-traceable, so a
+            # single-element dep would let XLA DCE the body (timing.py)
+            dep = jnp.sum(yy).astype(xx.dtype) * 1e-30
+            return (xx + dep, acc + dep)
 
         t = measure_loop_time(
             step, (jnp.asarray(x), jnp.zeros((), jnp.float32))
@@ -92,6 +96,40 @@ def main():
             f"t={t*1e3:.2f}ms weak_eff={eff:.2f} "
             f"bytes/dev={sp.data5.nbytes // d}"
         )
+        rows_out.append({
+            "devices": d,
+            "nnz": int(coo.nnz),
+            "rows": rows,
+            "balance": round(float(sp.balance), 3),
+            "verified": bool(ok),
+            "t_ms": round(t * 1e3, 3),
+            "weak_efficiency": round(eff, 3),
+            "bytes_per_device": int(sp.data5.nbytes // d),
+        })
+
+    if args.json:
+        import json
+
+        payload = {
+            "backend": jax.default_backend(),
+            "timing_is_hardware": on_hw,
+            "note": (
+                "virtual CPU mesh: validates sharding/collectives and the "
+                "nnz-balance contract; timings are NOT hardware numbers "
+                "unless timing_is_hardware is true.  N virtual devices "
+                "share this host's physical cores, so weak_efficiency "
+                "necessarily collapses (~1/D or worse) regardless of the "
+                "sharding's quality; the hardware-relevant columns are "
+                "balance (planner nnz balance across shards, ideal 1.0) "
+                "and verified."
+            ),
+            "x_mode": args.x_mode,
+            "nnz_per_device": args.nnz_per_device,
+            "rows": rows_out,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":

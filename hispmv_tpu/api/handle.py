@@ -1260,6 +1260,14 @@ class SpmvHandle:
                 panel_b = max(
                     1, min(8, int(6 * 2**20 // max(per_vec, 1)))
                 )
+                # cap the panel at the (pow-2 bucketed) batch: padding B
+                # up to a fixed panel executes dead vectors — B=1 through
+                # an 8-wide panel measured 161.6 us vs 38 us single on
+                # ford2 (pow-2 keeps executables shared across sizes)
+                bb = 1
+                while bb < batch:
+                    bb *= 2
+                panel_b = max(1, min(panel_b, bb))
                 res_plan = rmeta["res"]
                 res_coo = rmeta["res_coo"]
                 rchunk, res_ov = rmeta["rchunk"], rmeta["res_ov"]

@@ -54,12 +54,23 @@ def measure_loop_time(
     def run(carry, salt, n):
         # Salt defeats any (function, args) result caching in relayed
         # backends without perturbing the math measurably.  n is traced so
-        # both loop lengths share one compiled executable.
+        # both loop lengths share one compiled executable.  The salt goes
+        # into the first FLOATING leaf: salting an int32 leaf (e.g. a plan
+        # array riding in the carry) silently promotes it to f32 and the
+        # kernel then fails Mosaic verification (index_cast of f32).
         leaves, treedef = jax.tree_util.tree_flatten(carry)
-        leaves[0] = leaves[0] + jnp.asarray(salt, leaves[0].dtype) * 1e-30
+        k = next(
+            (
+                i for i, l in enumerate(leaves)
+                if jnp.issubdtype(l.dtype, jnp.floating)
+            ),
+            0,
+        )
+        leaves[k] = leaves[k] + jnp.asarray(salt, leaves[k].dtype) * 1e-30
         carry = jax.tree_util.tree_unflatten(treedef, leaves)
         carry = jax.lax.fori_loop(0, n, lambda i, c: step(c), carry)
-        chk = jnp.sum(_first_leaf(carry).ravel()[:1].astype(jnp.float32))
+        leaves_out = jax.tree_util.tree_leaves(carry)
+        chk = jnp.sum(leaves_out[k].ravel()[:1].astype(jnp.float32))
         return carry, chk
 
     # Warm up the (single) compile and the arg transfer.
@@ -99,8 +110,13 @@ def spmv_step_wrapper(kernel: Callable, x0: jax.Array):
     def step(carry):
         x, acc = carry
         y = kernel(x)
-        dep = y.ravel()[:1].astype(x.dtype) * 1e-30
-        return (x + dep, acc + dep[0])
+        # full-reduction dep: a single-element dep (y[0]) lets XLA's
+        # algebraic simplifier rewrite slice(dot) into a tiny dot and
+        # dead-code-eliminate the rest of a pure-XLA kernel (measured: an
+        # 8192^2 f32 matmul "ran" in 2.7 us, under its 313 us HBM floor).
+        # Pallas custom calls are opaque and were never affected.
+        dep = jnp.sum(y).astype(x.dtype) * 1e-30
+        return (x + dep, acc + dep)
 
     return step, (x0, jnp.zeros((), x0.dtype))
 
