@@ -165,13 +165,18 @@ def bench_matrix(name: str, scale: float) -> dict:
     # all 20 matrices at once and the benchmark stopped completing).
     # matrix CONTENT fingerprint in the cache name: a regenerated
     # fixture can never resurrect a plan built for different coordinates
-    cfg_tag0 = (
-        f"{family_gen(res.format)}-m{matrix_fingerprint(coo)[:10]}"
+    cfg_stem = (
+        f"m{matrix_fingerprint(coo)[:10]}"
         f"-{res.format}-bh{res.config.block_h}"
         f"-{res.config.value_dtype}{rs_tag}{cr_tag}"
     )
+    # plans depend only on the plan sources; executables also on the
+    # runner layer (include_runner) — so a handle.py edit re-compiles
+    # but does NOT re-plan (minutes for the 30M-nnz matrices)
+    cfg_tag0 = f"{family_gen(res.format)}-{cfg_stem}"
+    plan_tag = f"{family_gen(res.format, include_runner=False)}-{cfg_stem}"
     os.makedirs("/tmp/hispmv_plan_cache", exist_ok=True)
-    plan_cache = f"/tmp/hispmv_plan_cache/{name}-{scale}-{cfg_tag0}.npz"
+    plan_cache = f"/tmp/hispmv_plan_cache/{name}-{scale}-{plan_tag}.npz"
     handle = None
     t0 = time.time()
     plan_cached = False

@@ -109,15 +109,24 @@ def _hash_sources(rels) -> str:
     return h.hexdigest()[:8]
 
 
-def family_gen(fmt: str) -> str:
+def family_gen(fmt: str, include_runner: bool = True) -> str:
     """8-hex generation tag for one format family: keys the tune /
-    serialized-plan / executable caches for artifacts of that format."""
+    serialized-plan / executable caches for artifacts of that format.
+
+    ``include_runner=False`` hashes only the PLAN sources: serialized
+    plans (npz of plan arrays) are valid across edits to the shared
+    runner/pack layer, while compiled executables and measured tuning
+    decisions are not — keying plans this way keeps the expensive
+    re-planning (minutes for 30M-nnz matrices) warm when only
+    ``api/handle.py`` changes."""
     rels = _FAMILY_SOURCES.get(fmt)
     if rels is None:  # unknown family: be conservative, hash everything
         rels = tuple(
             r for fam in sorted(_FAMILY_SOURCES) for r in _FAMILY_SOURCES[fam]
         )
-    return _hash_sources(tuple(dict.fromkeys(rels + _COMMON_SOURCES)))
+    if include_runner:
+        rels = tuple(dict.fromkeys(rels + _COMMON_SOURCES))
+    return _hash_sources(rels)
 
 
 def _model_gen() -> str:
