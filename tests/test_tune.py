@@ -150,3 +150,74 @@ def test_model_only_pick_is_never_bf16():
     res = DSE().explore(coo)
     assert res.config.value_dtype == "float32"
     assert any(lbl.endswith("-bf16") for lbl, _ in res.candidates)
+
+
+def test_measured_cache_resumes_and_skips(tmp_path, monkeypatch):
+    """Per-candidate measurements persist write-through to
+    <cache>.measured and a re-run reuses them instead of rebuilding (the
+    round-5 nxp1 failure: an outer-timeout kill lost all measure
+    progress and the retry re-paid every compile)."""
+    import json
+
+    import hispmv_tpu.tune.dse as dse_mod
+    from hispmv_tpu.formats.synth import blocked_coo
+    from hispmv_tpu.tune.dse import tune
+
+    coo = blocked_coo(1200, 1200, 40_000, seed=31)
+    cache_path = str(tmp_path / "tune.json")
+    builds = []
+    orig = dse_mod.measure_candidates
+
+    from hispmv_tpu.api import handle as handle_mod
+
+    orig_handle = handle_mod.SpmvHandle
+
+    class CountingHandle(orig_handle):
+        def __init__(self, *a, **kw):
+            builds.append(kw.get("format"))
+            super().__init__(*a, **kw)
+
+    monkeypatch.setattr(handle_mod, "SpmvHandle", CountingHandle)
+    res1 = tune(coo, cache_path=cache_path, measure=2)
+    n1 = len(builds)
+    assert n1 >= 1
+    mpath = cache_path + ".measured"
+    entries = json.load(open(mpath))
+    assert any(v.get("t") is not None for v in entries.values())
+
+    # wipe the decision cache but KEEP the measurements: the re-run must
+    # measure without building a single new handle
+    import os
+
+    os.remove(cache_path)
+    res2 = tune(coo, cache_path=cache_path, measure=2)
+    assert len(builds) == n1  # zero new builds
+    assert res2.format == res1.format
+
+
+def test_measured_winner_sanity_floor():
+    """A measured winner >4x slower than the model-best of a DIFFERENT
+    family is rejected in favor of the model pick (round-5 soc-Pokec:
+    the model-best's measurement failed and a 82x-slower fallback was
+    crowned)."""
+    import dataclasses
+
+    from hispmv_tpu.config import SpmvConfig
+    from hispmv_tpu.tune.dse import TuneResult, measure_candidates
+    from hispmv_tpu.formats.synth import blocked_coo
+
+    coo = blocked_coo(800, 800, 20_000, seed=32)
+    # fabricate a model result whose top candidate cannot build
+    res = TuneResult(
+        format="routed",
+        config=SpmvConfig(),
+        est_seconds=1e-6,  # model-best estimate, unreachably fast
+        est_gflops=1.0,
+        candidates=[("routed", 1e-6), ("stream", 5e-6)],
+    )
+    out = measure_candidates(coo, res, top=1)
+    # whatever was measured is >4x slower than 1e-6 -> model pick stands
+    if out.measured:
+        assert out.format == "routed"
+    else:
+        assert out.format == res.format
