@@ -186,9 +186,11 @@ def bench_spmv(
     n_lo, n_hi = n_pair
     try:
         carry, chk = run(kargs, carry0, 0.0, jnp.int32(n_lo))
-    except TypeError:
+    except Exception:
         # stale serialized executable (argument pytree changed between
-        # versions): recompile fresh and overwrite the cache
+        # versions — TypeError — or a runtime/backend restart left the
+        # deserialized executable unusable): recompile fresh once and
+        # overwrite the cache.  A fresh-compile failure re-raises.
         import os as _os
 
         if exec_cache and _os.path.exists(exec_cache):
