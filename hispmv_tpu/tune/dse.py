@@ -755,9 +755,17 @@ def measure_candidates(
     # than the model's estimate for the (unmeasurable) model-best, trust
     # the model — its cross-family error band is ~2-4x, so a >4x-worse
     # measured winner means the real winner's measurement failed, not
-    # that the model was wrong.  Returning measured=False keeps the cache
-    # entry retryable on the next measured tune.
-    if secs > 4.0 * result.est_seconds and result.format != fmt:
+    # that the model was wrong.  Only fires when the model-best FAMILY
+    # has no successful measurement at all: if it was measured and
+    # simply lost, the measurement stands even when the model's estimate
+    # was optimistic.  Returning measured=False keeps the cache entry
+    # retryable on the next measured tune.
+    model_family_measured = any(m[2] == result.format for m in measured)
+    if (
+        secs > 4.0 * result.est_seconds
+        and result.format != fmt
+        and not model_family_measured
+    ):
         return result
     flops = 2 * (coo.nnz + coo.shape[0])
     return TuneResult(
